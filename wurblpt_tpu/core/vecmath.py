@@ -1,0 +1,73 @@
+"""Small-vector helpers over trailing-dimension arrays.
+
+The reference carries a 2k-line GLSL-style math library (``libwurblpt/gvm.hpp``).
+On TPU, small vectors are just arrays with a trailing dim of 2/3/4 and jnp does the
+rest; this module only adds the handful of geometric helpers the renderer needs.
+All functions broadcast over leading (batch) dimensions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def dot(a, b, keepdims: bool = False):
+    return jnp.sum(a * b, axis=-1, keepdims=keepdims)
+
+
+def length(a, keepdims: bool = False):
+    return jnp.sqrt(jnp.maximum(dot(a, a, keepdims=keepdims), 0.0))
+
+
+def normalize(a, eps: float = 1e-20):
+    return a * jnp.reciprocal(jnp.sqrt(jnp.maximum(dot(a, a, keepdims=True), eps)))
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def reflect(d, n):
+    """Mirror direction of incident d about normal n (both unit)."""
+    return d - 2.0 * dot(d, n, keepdims=True) * n
+
+
+def refract(d, n, eta):
+    """Refract unit direction d at normal n with relative IOR eta = n_i/n_t.
+
+    eta may be shaped [...] or [..., 1]. Returns (refracted_dir,
+    total_internal_reflection_mask). The direction is normalized; on TIR lanes
+    the returned direction is the reflection instead.
+    """
+    eta = jnp.asarray(eta)
+    if eta.ndim < jnp.ndim(d):
+        eta = eta[..., None]
+    cos_i = -dot(d, n, keepdims=True)
+    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    refr = eta * d + (eta * cos_i - cos_t) * n
+    refl = reflect(d, n)
+    out = jnp.where(tir, refl, normalize(refr))
+    return out, tir[..., 0]
+
+
+def mix(a, b, t):
+    return a + (b - a) * t
+
+
+def vec(*comps):
+    return jnp.stack(jnp.broadcast_arrays(*[jnp.asarray(c, jnp.float32) for c in comps]), axis=-1)
+
+
+def luminance(rgb):
+    """Rec.709 luminance of an RGB triple (color.hpp rgb_to_xyz Y row)."""
+    return 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+
+
+def max_component3(a):
+    return jnp.maximum(a[..., 0], jnp.maximum(a[..., 1], a[..., 2]))
+
+
+def safe_rcp(x, eps: float = 1e-20):
+    return jnp.where(jnp.abs(x) > eps, 1.0 / jnp.where(jnp.abs(x) > eps, x, 1.0), jnp.sign(x) / eps)

@@ -1,0 +1,144 @@
+"""Multi-chip / multi-host rendering: rays sharded over a device mesh.
+
+Replaces the reference's MPI master/worker block scheduler (``libwurblpt/
+mpi.hpp:36-289``) with the idiomatic JAX recipe (SURVEY.md section 2.2): one
+global `Mesh` with a "rays" axis, the pixel/sample batch sharded across it, the
+scene pytree replicated in HBM on every chip, and XLA inserting the collectives
+(gradient psum, framebuffer gather) from sharding annotations — no hand-written
+transport. Reproducibility across chip counts is free because the RNG is
+counter-based per (pixel, sample): a pixel's radiance does not depend on which
+chip computed it (unlike the reference's sequential per-pixel PRNG streams,
+which are order-dependent but pinned per pixel — both designs give
+chip-count-invariant images; ours also gives order invariance).
+
+Dynamic load balancing: the reference pulls 4096-pixel blocks from a queue
+(mpi.hpp:166-178). Here every chip gets an equal contiguous slice of the
+(pixel x sample) ray space per pass; variance in path depth is averaged out
+because each chip holds tens of thousands of lanes that retire independently
+inside the masked wavefront loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render.bsdf import SceneStatic
+from ..render.camera import CameraConfig, CameraParams
+from ..render.integrator import RenderParams, render_frame
+
+
+def make_ray_mesh(devices=None, axis: str = "rays") -> Mesh:
+    """1-D device mesh over all (local or global) devices."""
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def render_frame_sharded(
+    scene,
+    static: SceneStatic,
+    cam: CameraParams,
+    cam_cfg: CameraConfig,
+    sensor,
+    width: int,
+    height: int,
+    samples_sqrt: int,
+    mesh: Optional[Mesh] = None,
+    t0: float = 0.0,
+    t1: float = 0.0,
+    params: RenderParams = RenderParams(),
+    samples_per_pass: int = 1,
+):
+    """Render with pixels sharded over the mesh's "rays" axis.
+
+    The scene is replicated; the framebuffer is produced row-sharded and
+    gathered implicitly on host fetch. Height must be divisible by the mesh
+    size (pad upstream if needed).
+    """
+    if mesh is None:
+        mesh = make_ray_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    assert height % n_dev == 0, f"height {height} not divisible by {n_dev} devices"
+
+    rep = NamedSharding(mesh, P())
+
+    def run(scene_in, cam_in):
+        img = render_frame(
+            scene_in, static, cam_in, cam_cfg, sensor, width, height,
+            samples_sqrt, t0, t1, params, samples_per_pass,
+        )
+        # Ask GSPMD to shard the framebuffer rows over the ray axis; everything
+        # upstream (the per-pixel wavefront) is then row-sharded too.
+        return jax.lax.with_sharding_constraint(
+            img, NamedSharding(mesh, P(axis, None, None))
+        )
+
+    fn = jax.jit(run, in_shardings=(rep, rep), out_shardings=NamedSharding(mesh, P(axis, None, None)))
+    return fn(scene, cam)
+
+
+def training_step(
+    scene,
+    static: SceneStatic,
+    cam: CameraParams,
+    cam_cfg: CameraConfig,
+    sensor,
+    width: int,
+    height: int,
+    samples_sqrt: int,
+    target,
+    mesh: Optional[Mesh] = None,
+    params: RenderParams = RenderParams(),
+    lr: float = 0.1,
+):
+    """One differentiable render step: L2 loss against `target`, gradients to
+    every scene/camera parameter, SGD update on material tables.
+
+    This is the flagship "training step" for inverse rendering: the analog of
+    the reference's (absent) autodiff, and the unit the multi-chip dry-run
+    compiles over an N-device mesh. XLA all-reduces the scene-parameter
+    gradients across the ray shards automatically (the psum of SURVEY.md
+    section 2.2 "result reduction").
+    """
+    if mesh is None:
+        mesh = make_ray_mesh()
+    axis = mesh.axis_names[0]
+    rep = NamedSharding(mesh, P())
+    shard_img = NamedSharding(mesh, P(axis, None, None))
+
+    def loss_fn(scene_in, cam_in, target_in):
+        img = render_frame(
+            scene_in, static, cam_in, cam_cfg, sensor, width, height,
+            samples_sqrt, 0.0, 0.0, params, 1,
+        )
+        img = jax.lax.with_sharding_constraint(img, shard_img)
+        return jnp.mean((img - target_in) ** 2)
+
+    def step(scene_in, cam_in, target_in):
+        # allow_int: SceneArrays carries int32 id/type columns; their grads are
+        # float0 and ignored.
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1), allow_int=True)(
+            scene_in, cam_in, target_in
+        )
+        g_scene, g_cam = grads
+        # SGD on the differentiable material colors (demonstration update).
+        new_mats = scene_in.materials._replace(
+            albedo=scene_in.materials.albedo - lr * g_scene.materials.albedo,
+            emissive=scene_in.materials.emissive - lr * g_scene.materials.emissive,
+        )
+        return loss, scene_in._replace(materials=new_mats), g_cam
+
+    fn = jax.jit(
+        step,
+        in_shardings=(rep, rep, shard_img),
+        out_shardings=(rep, rep, rep),
+    )
+    return fn(scene, cam, target)

@@ -1,0 +1,469 @@
+"""BSDF sampling / evaluation / emission over material-type codes.
+
+Replaces the reference's virtual ``Material::scatter`` / ``scatterToDirection`` /
+``emitted`` dispatch (``material.hpp:158-191``) with masked evaluation: every lane
+computes the lobes of every material type present in the scene (a trace-time
+static set) and selects. Discrete decisions (lobe choice, dispersion channel,
+reflect/refract) are detached from the gradient tape; per-type sampling math:
+
+* Lambertian  — cosine importance sampling (material_lambertian.hpp:35-120)
+* GGX         — anisotropic Heitz VNDF sampling (material_ggx.hpp:89-171)
+* Glass       — exact-Fresnel reflect/refract, per-channel IOR dispersion with
+                random channel pick x4, Beer-Lambert exit absorption
+                (material_glass.hpp:97-141)
+* Mirror      — perfect specular (material_mirror.hpp)
+* ModPhong    — energy-normalized diffuse+specular lobes, opacity pass-through
+                (material_modphong.hpp:192-261)
+* PhaseIso    — uniform sphere (material_phase_function_isotropic.hpp)
+* Lights      — scatter None + directional emission (light_*.hpp)
+
+Conventions: `wo` = direction toward the previous path vertex (= -ray.dir),
+`wd` = sampled/next direction, both world-space unit. `atten` returns the
+BSDF *value x cos(theta)* (what the reference calls attenuation); `pdf` is the
+solid-angle sampling density. Radiance is RGB+NIR vec4.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import sampler
+from ..core.fresnel import fresnel_schlick, fresnel_unpolarized
+from ..core.onb import onb_from_normal_tangent, to_local, to_world
+from ..core.vecmath import cross, dot, normalize, reflect
+from ..scene.ir import MaterialFlags, MaterialType, SceneArrays
+from .intersect import HitRecord
+from .texture import material_albedo, material_emissive
+
+_PI = jnp.pi
+_INV_PI = 1.0 / jnp.pi
+
+
+class ScatterKind:
+    NONE = 0      # absorbed / light surface
+    RANDOM = 1    # pdf-sampled lobe (participates in MIS)
+    EXPLICIT = 2  # delta lobe (specular); no MIS
+
+
+class ScatterSample(NamedTuple):
+    kind: jnp.ndarray        # [N] int32
+    direction: jnp.ndarray   # [N, 3]
+    atten: jnp.ndarray       # [N, 4]  f * cos (RANDOM) or throughput factor (EXPLICIT)
+    pdf: jnp.ndarray         # [N]
+    ior: jnp.ndarray         # [N, 4]  refractive index for the continued ray
+
+
+class SceneStatic(NamedTuple):
+    """Trace-time facts about the scene (NOT traced; computed host-side from
+    concrete arrays). Gates dead material branches out of the compiled kernel."""
+
+    mat_types: frozenset
+    has_textures: bool
+    has_anim: bool
+    n_lights: int
+    env_kind: int
+    env_importance: bool
+    has_media: bool
+
+    @staticmethod
+    def from_scene(scene: SceneArrays) -> "SceneStatic":
+        import numpy as np
+
+        return SceneStatic(
+            mat_types=frozenset(np.unique(np.asarray(scene.materials.typ)).tolist()),
+            has_textures=scene.textures.count > 0,
+            has_anim=scene.anims.count > 1,
+            n_lights=int(scene.light_prims.shape[0]),
+            env_kind=int(scene.envmap.kind),
+            env_importance=scene.envmap.alias_prob.shape[0] > 0,
+            has_media=bool(np.any(np.asarray(scene.prim_medium_density) > 0.0)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# GGX helpers (anisotropic, local tangent frame with n = +z)
+# ---------------------------------------------------------------------------
+
+def _ggx_ndf(h, ax, ay):
+    """Anisotropic GGX D (material_ggx.hpp:89-110)."""
+    hx2 = (h[..., 0] / ax) ** 2
+    hy2 = (h[..., 1] / ay) ** 2
+    hz2 = h[..., 2] ** 2
+    denom = hx2 + hy2 + hz2
+    return jnp.where(
+        h[..., 2] > 0.0,
+        1.0 / jnp.maximum(_PI * ax * ay * denom * denom, 1e-12),
+        0.0,
+    )
+
+
+def _ggx_lambda(w, ax, ay):
+    wz = jnp.maximum(jnp.abs(w[..., 2]), 1e-6)
+    t2 = ((ax * w[..., 0]) ** 2 + (ay * w[..., 1]) ** 2) / (wz * wz)
+    return 0.5 * (-1.0 + jnp.sqrt(1.0 + t2))
+
+
+def _ggx_g1(w, ax, ay):
+    return 1.0 / (1.0 + _ggx_lambda(w, ax, ay))
+
+
+def _ggx_g2(wi, wo, ax, ay):
+    return 1.0 / (1.0 + _ggx_lambda(wi, ax, ay) + _ggx_lambda(wo, ax, ay))
+
+
+def _ggx_sample_vndf(wo_local, ax, ay, u2):
+    """Heitz 2018 VNDF sampling (material_ggx.hpp:138-171). wo_local.z > 0."""
+    vh = normalize(
+        jnp.stack([ax * wo_local[..., 0], ay * wo_local[..., 1], wo_local[..., 2]], axis=-1)
+    )
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-20))
+    t1 = jnp.where(
+        (lensq > 1e-12)[..., None],
+        jnp.stack([-vh[..., 1] * inv, vh[..., 0] * inv, jnp.zeros_like(inv)], axis=-1),
+        jnp.array([1.0, 0.0, 0.0]),
+    )
+    t2v = cross(vh, t1)
+    r = jnp.sqrt(jnp.maximum(u2[..., 0], 0.0))
+    phi = 2.0 * _PI * u2[..., 1]
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
+    nh = (
+        p1[..., None] * t1
+        + p2[..., None] * t2v
+        + jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))[..., None] * vh
+    )
+    h = normalize(
+        jnp.stack(
+            [ax * nh[..., 0], ay * nh[..., 1], jnp.maximum(nh[..., 2], 1e-6)], axis=-1
+        )
+    )
+    return h
+
+
+def _ggx_eval_local(wo, wd, f0, ax, ay):
+    """Returns (f*cos [N,4], pdf [N]) in the local frame; zero below horizon."""
+    up = (wo[..., 2] > 1e-6) & (wd[..., 2] > 1e-6)
+    h = normalize(wo + wd)
+    d_term = _ggx_ndf(h, ax, ay)
+    g2 = _ggx_g2(wo, wd, ax, ay)
+    g1 = _ggx_g1(wo, ax, ay)
+    cos_oh = jnp.maximum(dot(wo, h), 1e-6)
+    f = fresnel_schlick(cos_oh[..., None], f0)
+    woz = jnp.maximum(wo[..., 2], 1e-6)
+    wdz = jnp.maximum(wd[..., 2], 1e-6)
+    spec = f * (d_term * g2 / (4.0 * woz))[..., None]   # = f*D*G2/(4 cosO cosI) * cosI
+    pdf = g1 * d_term / (4.0 * woz)                      # VNDF pdf for wd
+    zero = jnp.zeros_like(spec)
+    return jnp.where(up[..., None], spec, zero), jnp.where(up, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# ModPhong helpers
+# ---------------------------------------------------------------------------
+
+def _modphong_eval(wo, wd, n, kd, ks, shininess):
+    """f*cos and mixture pdf for the energy-normalized modified Phong
+    (material_modphong.hpp:192-239). All world-space; n front-facing."""
+    cos_i = dot(wd, n)
+    up = cos_i > 1e-6
+    refl = reflect(-wo, n)
+    cos_a = jnp.clip(dot(refl, wd), 0.0, 1.0)
+    s = jnp.maximum(shininess, 0.0)
+    norm_spec = (s + 2.0) / (2.0 * _PI)
+    f = kd * _INV_PI + ks * (norm_spec * jnp.power(cos_a, s))[..., None]
+    fcos = f * jnp.maximum(cos_i, 0.0)[..., None]
+    # mixture pdf with lobe probability ps
+    kd_max = jnp.max(kd[..., :3], axis=-1)
+    ks_max = jnp.max(ks[..., :3], axis=-1)
+    ps = jnp.where(kd_max + ks_max > 0, ks_max / jnp.maximum(kd_max + ks_max, 1e-12), 0.0)
+    pdf_diff = jnp.maximum(cos_i, 0.0) * _INV_PI
+    pdf_spec = (s + 1.0) / (2.0 * _PI) * jnp.power(cos_a, s)
+    pdf = (1.0 - ps) * pdf_diff + ps * pdf_spec
+    zero4 = jnp.zeros_like(fcos)
+    return jnp.where(up[..., None], fcos, zero4), jnp.where(up, pdf, 0.0)
+
+
+def _sample_power_cosine(axis, exponent, u2):
+    """Sample direction ~ cos^s around axis."""
+    ct = jnp.power(jnp.maximum(u2[..., 0], 1e-12), 1.0 / (exponent + 1.0))
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    phi = 2.0 * _PI * u2[..., 1]
+    local = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+    from ..core.onb import onb_from_normal
+
+    t, b = onb_from_normal(axis)
+    return to_world(local, t, b, axis)
+
+
+# ---------------------------------------------------------------------------
+# Emission
+# ---------------------------------------------------------------------------
+
+def emitted(scene: SceneArrays, static: SceneStatic, hr: HitRecord, view_dir):
+    """Radiance emitted from the hit toward the viewer (material.hpp:182-185).
+
+    view_dir points from the hit toward the previous vertex (= -ray.dir).
+    """
+    mt = scene.materials
+    typ = mt.typ[hr.mat]
+    flags = mt.flags[hr.mat]
+    e = material_emissive(scene, hr.mat, hr.uv)
+
+    is_emitter = (
+        (typ == MaterialType.LIGHT_DIFFUSE)
+        | (typ == MaterialType.LIGHT_SPOT)
+        | (typ == MaterialType.LIGHT_TOF)
+        | (typ == MaterialType.MODPHONG)
+    )
+    # Front side only, unless two-sided (hr.normal is already front-facing;
+    # backside flag says the geometric front faces away).
+    two_sided = (flags & MaterialFlags.TWO_SIDED) > 0
+    front_ok = (~hr.backside) | two_sided
+
+    cos_view = dot(hr.normal, view_dir)
+    vis = cos_view > 0.0
+
+    # Spot/ToF cone: emit only within the opening angle around the normal
+    # (light_spot.hpp:32-75, light_tof.hpp:37-89).
+    in_cone = cos_view >= mt.p0[hr.mat, 0]
+    is_cone = (typ == MaterialType.LIGHT_SPOT) | (typ == MaterialType.LIGHT_TOF)
+    ok = is_emitter & front_ok & vis & (in_cone | ~is_cone)
+    return jnp.where(ok[..., None], e, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Sampling (scatter)
+# ---------------------------------------------------------------------------
+
+def bsdf_sample(
+    scene: SceneArrays,
+    static: SceneStatic,
+    hr: HitRecord,
+    ray_dir,
+    ray_ior,
+    u4,
+    u_lobe,
+) -> ScatterSample:
+    """Sample the outgoing lobe at each hit (reference Material::scatter).
+
+    u4: [N,4] uniforms for direction sampling; u_lobe: [N] for discrete picks.
+    Discrete picks are detached (stop_gradient) so gradients flow through the
+    continuous eval only.
+    """
+    mt = scene.materials
+    typ = mt.typ[hr.mat]
+    n = hr.normal
+    wo = -ray_dir
+    N = typ.shape[0]
+
+    kind = jnp.zeros((N,), jnp.int32)
+    direction = n
+    atten = jnp.zeros((N, 4))
+    pdf = jnp.zeros((N,))
+    ior = ray_ior
+
+    albedo = material_albedo(scene, hr.mat, hr.uv)
+    u2 = jax.lax.stop_gradient(u4[..., 0:2])
+    u_lobe = jax.lax.stop_gradient(u_lobe)
+
+    # ---- Lambertian ----
+    if MaterialType.LAMBERTIAN in static.mat_types:
+        d_cos = sampler.cosine_direction(n, u2)
+        cos_t = jnp.maximum(dot(d_cos, n), 0.0)
+        p = cos_t * _INV_PI
+        sel = typ == MaterialType.LAMBERTIAN
+        kind = jnp.where(sel, ScatterKind.RANDOM, kind)
+        direction = jnp.where(sel[..., None], d_cos, direction)
+        atten = jnp.where(sel[..., None], albedo * p[..., None], atten)
+        pdf = jnp.where(sel, p, pdf)
+
+    # ---- GGX ----
+    if MaterialType.GGX in static.mat_types:
+        ax = jnp.maximum(mt.p0[hr.mat, 0], 1e-4)
+        ay = jnp.maximum(mt.p0[hr.mat, 1], 1e-4)
+        t, b = onb_from_normal_tangent(n, hr.tangent)
+        wo_l = to_local(wo, t, b, n)
+        wo_l = wo_l.at[..., 2].set(jnp.maximum(wo_l[..., 2], 1e-4))
+        h = _ggx_sample_vndf(wo_l, ax, ay, u2)
+        wd_l = reflect(-wo_l, h)
+        fcos, p = _ggx_eval_local(wo_l, wd_l, albedo, ax, ay)
+        d_ggx = to_world(wd_l, t, b, n)
+        sel = typ == MaterialType.GGX
+        kind = jnp.where(sel, ScatterKind.RANDOM, kind)
+        direction = jnp.where(sel[..., None], d_ggx, direction)
+        atten = jnp.where(sel[..., None], fcos, atten)
+        pdf = jnp.where(sel, p, pdf)
+
+    # ---- Mirror ----
+    if MaterialType.MIRROR in static.mat_types:
+        d_m = reflect(ray_dir, n)
+        sel = typ == MaterialType.MIRROR
+        kind = jnp.where(sel, ScatterKind.EXPLICIT, kind)
+        direction = jnp.where(sel[..., None], d_m, direction)
+        atten = jnp.where(sel[..., None], albedo, atten)
+        pdf = jnp.where(sel, 1.0, pdf)
+
+    # ---- Glass ----
+    if MaterialType.GLASS in static.mat_types:
+        mat_ior = mt.p0[hr.mat]          # [N,4] per-channel IOR
+        absorption = mt.p1[hr.mat]       # [N,4]
+        dispersive = (
+            (jnp.abs(mat_ior[..., 0] - mat_ior[..., 1]) > 1e-6)
+            | (jnp.abs(mat_ior[..., 1] - mat_ior[..., 2]) > 1e-6)
+            | (jnp.abs(mat_ior[..., 2] - mat_ior[..., 3]) > 1e-6)
+        )
+        # Random channel pick x4 when dispersive (material_glass.hpp:97-106).
+        chan = jnp.clip((u_lobe * 4.0).astype(jnp.int32), 0, 3)
+        chan_mask = jax.nn.one_hot(chan, 4, dtype=atten.dtype)
+        n_mat = jnp.take_along_axis(mat_ior, chan[..., None], axis=-1)[..., 0]
+        n_mat = jnp.where(dispersive, n_mat, mat_ior[..., 0])
+        n_i = jnp.where(hr.backside, n_mat, 1.0)
+        n_t = jnp.where(hr.backside, 1.0, n_mat)
+        cos_i = jnp.clip(dot(wo, n), 0.0, 1.0)
+        fres = fresnel_unpolarized(cos_i, n_i, n_t)
+        reflect_pick = jax.lax.stop_gradient(jnp.mod(u_lobe * 4.0, 1.0)) < fres
+        from ..core.vecmath import refract as _refract
+
+        refr_dir, tir = _refract(ray_dir, n, n_i / jnp.maximum(n_t, 1e-6))
+        refl_dir = reflect(ray_dir, n)
+        d_g = jnp.where((reflect_pick | tir)[..., None], refl_dir, refr_dir)
+        a_g = jnp.ones((N, 4))
+        a_g = jnp.where(dispersive[..., None], chan_mask * 4.0, a_g)
+        # Beer-Lambert on backside exit (material_glass.hpp:107-111).
+        beer = jnp.exp(-absorption * hr.t[..., None])
+        a_g = a_g * jnp.where(hr.backside[..., None], beer, 1.0)
+        new_ior = jnp.where(
+            (reflect_pick | tir)[..., None],
+            ray_ior,
+            jnp.where(hr.backside[..., None], jnp.ones((N, 4)), jnp.broadcast_to(mat_ior, (N, 4))),
+        )
+        sel = typ == MaterialType.GLASS
+        kind = jnp.where(sel, ScatterKind.EXPLICIT, kind)
+        direction = jnp.where(sel[..., None], d_g, direction)
+        atten = jnp.where(sel[..., None], a_g, atten)
+        pdf = jnp.where(sel, 1.0, pdf)
+        ior = jnp.where(sel[..., None], new_ior, ior)
+
+    # ---- ModPhong ----
+    if MaterialType.MODPHONG in static.mat_types:
+        ks = mt.p1[hr.mat]
+        shininess = mt.p0[hr.mat, 0]
+        opacity = mt.p0[hr.mat, 1]
+        ps = mt.p0[hr.mat, 2]
+        # Opacity pass-through (material_modphong.hpp:241-261): with prob
+        # (1-opacity) continue straight through.
+        pass_through = u_lobe > opacity
+        u_relobe = jnp.mod(u_lobe * 16.0, 1.0)  # reuse for lobe pick
+        pick_spec = u_relobe < ps
+        refl_axis = reflect(ray_dir, n)
+        d_spec = _sample_power_cosine(refl_axis, shininess, u2)
+        d_diff = sampler.cosine_direction(n, u2)
+        d_mp = jnp.where(pick_spec[..., None], d_spec, d_diff)
+        fcos, p = _modphong_eval(wo, d_mp, n, albedo, ks, shininess)
+        d_mp = jnp.where(pass_through[..., None], ray_dir, d_mp)
+        sel = typ == MaterialType.MODPHONG
+        kind = jnp.where(
+            sel,
+            jnp.where(pass_through, ScatterKind.EXPLICIT, ScatterKind.RANDOM),
+            kind,
+        )
+        direction = jnp.where(sel[..., None], d_mp, direction)
+        atten = jnp.where(
+            sel[..., None],
+            jnp.where(pass_through[..., None], jnp.ones((N, 4)), fcos),
+            atten,
+        )
+        pdf = jnp.where(sel, jnp.where(pass_through, 1.0, p), pdf)
+
+    # ---- Isotropic phase function ----
+    if MaterialType.PHASE_ISO in static.mat_types:
+        d_ph = sampler.on_unit_sphere(u2)
+        p_ph = 1.0 / (4.0 * _PI)
+        sel = typ == MaterialType.PHASE_ISO
+        kind = jnp.where(sel, ScatterKind.RANDOM, kind)
+        direction = jnp.where(sel[..., None], d_ph, direction)
+        atten = jnp.where(sel[..., None], albedo * p_ph, atten)
+        pdf = jnp.where(sel, p_ph, pdf)
+
+    # ---- RGL measured materials ----
+    if MaterialType.RGL in static.mat_types:
+        from ..materials.rgl import rgl_sample_lanes
+
+        d_r, fcos_r, p_r, ok_r = rgl_sample_lanes(scene, hr, wo, u2)
+        sel = (typ == MaterialType.RGL) & ok_r
+        kind = jnp.where(sel, ScatterKind.RANDOM, kind)
+        direction = jnp.where(sel[..., None], d_r, direction)
+        atten = jnp.where(sel[..., None], fcos_r, atten)
+        pdf = jnp.where(sel, p_r, pdf)
+
+    return ScatterSample(kind=kind, direction=direction, atten=atten, pdf=pdf, ior=ior)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation toward a given direction (NEE / MIS)
+# ---------------------------------------------------------------------------
+
+def bsdf_eval(scene: SceneArrays, static: SceneStatic, hr: HitRecord, ray_dir, wd):
+    """(f*cos [N,4], pdf [N]) of scattering into direction wd
+    (reference Material::scatterToDirection, material.hpp:173-179).
+
+    Delta lobes (glass/mirror/none/lights) return zeros — they never take part
+    in NEE (wurblpt.hpp:179 requires ScatterRandom).
+    """
+    mt = scene.materials
+    typ = mt.typ[hr.mat]
+    n = hr.normal
+    wo = -ray_dir
+    N = typ.shape[0]
+    albedo = material_albedo(scene, hr.mat, hr.uv)
+
+    fcos = jnp.zeros((N, 4))
+    pdf = jnp.zeros((N,))
+
+    if MaterialType.LAMBERTIAN in static.mat_types:
+        cos_t = jnp.maximum(dot(wd, n), 0.0)
+        p = cos_t * _INV_PI
+        sel = typ == MaterialType.LAMBERTIAN
+        fcos = jnp.where(sel[..., None], albedo * p[..., None], fcos)
+        pdf = jnp.where(sel, p, pdf)
+
+    if MaterialType.GGX in static.mat_types:
+        ax = jnp.maximum(mt.p0[hr.mat, 0], 1e-4)
+        ay = jnp.maximum(mt.p0[hr.mat, 1], 1e-4)
+        t, b = onb_from_normal_tangent(n, hr.tangent)
+        wo_l = to_local(wo, t, b, n)
+        wd_l = to_local(wd, t, b, n)
+        f_g, p_g = _ggx_eval_local(wo_l, wd_l, albedo, ax, ay)
+        sel = typ == MaterialType.GGX
+        fcos = jnp.where(sel[..., None], f_g, fcos)
+        pdf = jnp.where(sel, p_g, pdf)
+
+    if MaterialType.MODPHONG in static.mat_types:
+        ks = mt.p1[hr.mat]
+        shininess = mt.p0[hr.mat, 0]
+        f_m, p_m = _modphong_eval(wo, wd, n, albedo, ks, shininess)
+        sel = typ == MaterialType.MODPHONG
+        fcos = jnp.where(sel[..., None], f_m, fcos)
+        pdf = jnp.where(sel, p_m, pdf)
+
+    if MaterialType.PHASE_ISO in static.mat_types:
+        p_ph = 1.0 / (4.0 * _PI)
+        sel = typ == MaterialType.PHASE_ISO
+        fcos = jnp.where(sel[..., None], albedo * p_ph, fcos)
+        pdf = jnp.where(sel, p_ph, pdf)
+
+    if MaterialType.RGL in static.mat_types:
+        from ..materials.rgl import rgl_eval_lanes
+
+        f_r, p_r, ok_r = rgl_eval_lanes(scene, hr, wo, wd)
+        sel = (typ == MaterialType.RGL) & ok_r
+        fcos = jnp.where(sel[..., None], f_r, fcos)
+        pdf = jnp.where(sel, p_r, pdf)
+
+    return fcos, pdf

@@ -1,0 +1,407 @@
+"""Wavefront path integrator: the TPU-native `tracePath` + `mcpt`.
+
+Reference: ``libwurblpt/wurblpt.hpp:108-275`` (tracePath) and ``:279-449`` (mcpt).
+The recursive-feeling per-pixel loop becomes a `lax.while_loop` over bounce depth
+carrying a whole ray *batch*; terminated lanes are masked rather than compacted
+(occupancy is recovered across bounces because every lane of a batch shares the
+same bounce index — compaction is a planned optimization, SURVEY.md section 7).
+
+Per bounce, matching the reference event-for-event:
+  1. closest hit (tiled brute force or BVH)                    [wurblpt.hpp:131]
+  2. miss -> envmap radiance with MIS weight, lane retires     [:136-146]
+  3. geometric + per-channel optical path length accumulation  [:148-150]
+  4. emitted radiance with MIS weight vs hot-spot mixture pdf  [:160-163,181-185]
+  5. BSDF sample (ScatterRecord equivalent)                    [:157]
+  6. next-event estimation toward a uniformly picked hot spot,
+     power-heuristic weighted, visibility via blocker identity [:179-220]
+  7. envmap NEE when importance tables exist                   [:221-252]
+  8. throughput update, Russian roulette after bounce 5        [:169-176,258-273]
+
+Randomness is counter-based: every decision hashes
+(global pixel id, global sample id, bounce, salt) — results are bit-identical
+for any sharding of the ray batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rng import Salt, uniform1, uniform2, uniform4
+from ..core.sampler import power_heuristic
+from ..core.vecmath import dot
+from ..scene.ir import SceneArrays
+from .bsdf import ScatterKind, SceneStatic, bsdf_eval, bsdf_sample, emitted
+from .camera import CameraConfig, CameraParams, camera_rays
+from .envmap import env_has_importance, env_pdf, env_radiance, env_sample
+from .intersect import BIG, assemble_hit, scene_raw_hit
+from .lights import lights_pdf_sum, lights_sample
+from .sensor import SensorEvent
+from .texture import material_emissive
+
+
+@dataclass(frozen=True)
+class RenderParams:
+    """Reference `Parameters` (wurblpt.hpp:79-96) + TPU execution switches.
+
+    `differentiable`: when True the bounce loop is a fixed-trip `fori_loop`
+    (scan-lowered, reverse-differentiable, rematerialized per bounce) instead of
+    an early-exiting `while_loop`. Inference keeps the while_loop so a batch
+    whose paths all die early stops immediately.
+    """
+
+    max_path_components: int = 32
+    rr_threshold: float = 1.0
+    rr_start: int = 5
+    min_hit_distance: float = 1e-4
+    randomize_ray_over_pixel: bool = True
+    differentiable: bool = False
+
+
+class _LoopState(NamedTuple):
+    bounce: jnp.ndarray
+    o: jnp.ndarray
+    d: jnp.ndarray
+    time: jnp.ndarray
+    ior: jnp.ndarray
+    throughput: jnp.ndarray
+    active: jnp.ndarray
+    acc: jnp.ndarray
+    geom_len: jnp.ndarray
+    opt_len: jnp.ndarray
+    prev_pdf: jnp.ndarray       # pdf of previous RANDOM bsdf sample (0 if none)
+    prev_random: jnp.ndarray    # bool: previous scatter was pdf-sampled
+
+
+def _light_emitted_at(scene: SceneArrays, static: SceneStatic, prim, point, toward):
+    """Emitted radiance of light prim `prim` at surface point `point` toward
+    direction `toward` (unit, pointing from light to receiver)."""
+    n_tri = scene.n_tris
+    is_tri = prim < n_tri
+    ti = jnp.clip(prim, 0, max(n_tri - 1, 0))
+    if n_tri > 0:
+        T = scene.tris
+        import jax.numpy as _jnp
+
+        e1, e2 = T.e1[ti], T.e2[ti]
+        fn = _jnp.cross(e1, e2)
+        n_t = fn / _jnp.maximum(_jnp.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+        mat_t = T.mat[ti]
+    else:
+        n_t = jnp.zeros_like(point)
+        mat_t = jnp.zeros(prim.shape, jnp.int32)
+    if scene.n_spheres > 0:
+        si = jnp.clip(prim - n_tri, 0, scene.n_spheres - 1)
+        S = scene.spheres
+        n_s = (point - S.center[si]) / jnp.maximum(S.radius[si], 1e-20)[..., None]
+        mat_s = S.mat[si]
+    else:
+        n_s = jnp.zeros_like(point)
+        mat_s = jnp.zeros(prim.shape, jnp.int32)
+    n = jnp.where(is_tri[..., None], n_t, n_s)
+    mat = jnp.where(is_tri, mat_t, mat_s)
+
+    # Orient normal toward the receiver, honoring one-sidedness: emission only
+    # when the receiver is on the front side (or the material is two-sided).
+    mt = scene.materials
+    from ..scene.ir import MaterialFlags, MaterialType
+
+    cos_v = dot(n, toward)
+    two_sided = (mt.flags[mat] & MaterialFlags.TWO_SIDED) > 0
+    front = (cos_v > 0.0) | two_sided
+    typ = mt.typ[mat]
+    in_cone = jnp.abs(cos_v) >= mt.p0[mat, 0]
+    is_cone = (typ == MaterialType.LIGHT_SPOT) | (typ == MaterialType.LIGHT_TOF)
+    e = material_emissive(scene, mat, jnp.zeros(point.shape[:-1] + (2,)))
+    ok = front & (in_cone | ~is_cone)
+    return jnp.where(ok[..., None], e, 0.0)
+
+
+def trace_paths(
+    scene: SceneArrays,
+    static: SceneStatic,
+    sensor,
+    o,
+    d,
+    time,
+    pixel_id,
+    sample_id,
+    params: RenderParams,
+):
+    """Trace one batch of camera rays to completion; returns acc [N, sensor.n_acc]."""
+    n = o.shape[0]
+    env_is = static.env_kind != 0 and static.env_importance
+    has_env = static.env_kind != 0
+    has_lights = static.n_lights > 0
+
+    init = _LoopState(
+        bounce=jnp.zeros((), jnp.int32),
+        o=o,
+        d=d,
+        time=time,
+        ior=jnp.ones((n, 4)),
+        throughput=jnp.ones((n, 4)),
+        active=jnp.ones((n,), bool),
+        acc=jnp.zeros((n, sensor.n_acc)),
+        geom_len=jnp.zeros((n,)),
+        opt_len=jnp.zeros((n, 4)),
+        prev_pdf=jnp.zeros((n,)),
+        prev_random=jnp.zeros((n,), bool),
+    )
+
+    def cond(st: _LoopState):
+        return (st.bounce < params.max_path_components) & jnp.any(st.active)
+
+    def body(st: _LoopState) -> _LoopState:
+        k = st.bounce
+        t, prim, u, v = scene_raw_hit(
+            scene, st.o, st.d, jnp.full((n,), params.min_hit_distance), jnp.full((n,), BIG)
+        )
+        hit = (prim >= 0) & st.active
+        miss = (~(prim >= 0)) & st.active
+
+        acc = st.acc
+        # ---- 2. environment on miss (wurblpt.hpp:136-146) -----------------
+        if has_env:
+            L_env = env_radiance(scene.envmap, st.d)
+            if env_is:
+                pdf_e = env_pdf(scene.envmap, st.d)
+                w_env = jax.lax.stop_gradient(
+                    jnp.where(st.prev_random, power_heuristic(st.prev_pdf, pdf_e), 1.0)
+                )
+            else:
+                w_env = jnp.ones((n,))
+            ev = SensorEvent(
+                radiance=st.throughput * L_env * w_env[..., None],
+                path_component=jnp.full((n,), k),
+                geom_path_length=st.geom_len,
+                optical_path_length=st.opt_len,
+                distance_to_light=jnp.zeros((n,)),
+                active=miss,
+            )
+            acc = sensor.accumulate(acc, ev)
+
+        hr = assemble_hit(scene, st.o, st.d, t, prim, u, v)
+
+        # ---- 3. path lengths (wurblpt.hpp:148-150) ------------------------
+        geom_len = jnp.where(hit, st.geom_len + t, st.geom_len)
+        opt_len = jnp.where(hit[..., None], st.opt_len + t[..., None] * st.ior, st.opt_len)
+
+        # ---- 4. emitted with MIS weight (wurblpt.hpp:160-163, 181-185) ----
+        e = emitted(scene, static, hr, -st.d)
+        if has_lights:
+            pdf_l = lights_pdf_sum(scene, st.o, st.d)
+            w_emit = jax.lax.stop_gradient(
+                jnp.where(st.prev_random, power_heuristic(st.prev_pdf, pdf_l), 1.0)
+            )
+        else:
+            w_emit = jnp.ones((n,))
+        ev = SensorEvent(
+            radiance=st.throughput * e * w_emit[..., None],
+            path_component=jnp.full((n,), k),
+            geom_path_length=geom_len,
+            optical_path_length=opt_len,
+            distance_to_light=t,
+            active=hit,
+        )
+        acc = sensor.accumulate(acc, ev)
+
+        # ---- 5. scatter (wurblpt.hpp:157) ---------------------------------
+        u4 = uniform4(pixel_id, sample_id, k, Salt.BSDF)
+        u_lobe = uniform1(pixel_id, sample_id, k, Salt.BSDF_LOBE)
+        sr = bsdf_sample(scene, static, hr, st.d, st.ior, u4, u_lobe)
+        is_random = hit & (sr.kind == ScatterKind.RANDOM) & (sr.pdf > 0.0)
+        is_explicit = hit & (sr.kind == ScatterKind.EXPLICIT)
+
+        # ---- 6. NEE toward hot spots (wurblpt.hpp:179-220) ----------------
+        if has_lights:
+            u3 = uniform4(pixel_id, sample_id, k, Salt.NEE_SAMPLE)[..., :3]
+            ldir, lprim, ldist = lights_sample(scene, hr.position, u3)
+            pdf_light = lights_pdf_sum(scene, hr.position, ldir)
+            f_l, pdf_b = bsdf_eval(scene, static, hr, st.d, ldir)
+            # visibility + blocker identity check (wurblpt.hpp:203-217)
+            st_t, st_prim, _, _ = scene_raw_hit(
+                scene,
+                hr.position,
+                ldir,
+                jnp.full((n,), params.min_hit_distance),
+                jnp.full((n,), BIG),
+            )
+            visible = st_prim == lprim
+            Le = _light_emitted_at(
+                scene, static, jnp.maximum(lprim, 0),
+                hr.position + ldir * st_t[..., None], -ldir
+            )
+            # Detached-sampling estimator: the pdf and MIS weight are treated
+            # as constants of the tape; gradients flow through f, Le and the
+            # throughput (standard path-replay-style differentiation).
+            w_nee = jax.lax.stop_gradient(power_heuristic(pdf_light, pdf_b))
+            pdf_light_d = jax.lax.stop_gradient(pdf_light)
+            ok = is_random & visible & (pdf_light > 1e-12)
+            contrib = (
+                st.throughput
+                * f_l
+                * Le
+                * (w_nee / jnp.maximum(pdf_light_d, 1e-12))[..., None]
+            )
+            ev = SensorEvent(
+                radiance=contrib,
+                path_component=jnp.full((n,), k),
+                geom_path_length=geom_len + st_t,
+                optical_path_length=opt_len + st_t[..., None] * st.ior,
+                distance_to_light=st_t,
+                active=ok,
+            )
+            acc = sensor.accumulate(acc, ev)
+
+        # ---- 7. envmap NEE (wurblpt.hpp:221-252) --------------------------
+        if env_is:
+            ue = uniform4(pixel_id, sample_id, k, Salt.ENVMAP_SAMPLE)[..., :3]
+            edir, epdf = env_sample(scene.envmap, ue)
+            f_e, pdf_be = bsdf_eval(scene, static, hr, st.d, edir)
+            et, eprim, _, _ = scene_raw_hit(
+                scene,
+                hr.position,
+                edir,
+                jnp.full((n,), params.min_hit_distance),
+                jnp.full((n,), BIG),
+            )
+            unoccluded = eprim < 0
+            L_e = env_radiance(scene.envmap, edir)
+            w_e = jax.lax.stop_gradient(power_heuristic(epdf, pdf_be))
+            epdf_d = jax.lax.stop_gradient(epdf)
+            ok_e = is_random & unoccluded & (epdf > 1e-12)
+            ev = SensorEvent(
+                radiance=st.throughput * f_e * L_e * (w_e / jnp.maximum(epdf_d, 1e-12))[..., None],
+                path_component=jnp.full((n,), k),
+                geom_path_length=geom_len,
+                optical_path_length=opt_len,
+                distance_to_light=jnp.zeros((n,)),
+                active=ok_e,
+            )
+            acc = sensor.accumulate(acc, ev)
+
+        # ---- 8. throughput update + Russian roulette ----------------------
+        pdf_d = jax.lax.stop_gradient(sr.pdf)  # detached-sampling estimator
+        ratio = jnp.where(
+            is_random[..., None],
+            sr.atten / jnp.maximum(pdf_d, 1e-12)[..., None],
+            sr.atten,
+        )
+        cont = is_random | is_explicit
+        new_throughput = st.throughput * ratio
+
+        # Russian roulette (wurblpt.hpp:258-273): q from the per-bounce ratio.
+        max_r = jax.lax.stop_gradient(jnp.max(ratio, axis=-1))
+        u_rr = uniform1(pixel_id, sample_id, k, Salt.RR)
+        do_rr = (k >= params.rr_start) & (max_r < params.rr_threshold) & cont
+        q = jnp.clip(1.0 - max_r, 0.0, 0.95)
+        killed = do_rr & (u_rr < q)
+        new_throughput = jnp.where(
+            (do_rr & ~killed)[..., None],
+            new_throughput / jnp.maximum(1.0 - q, 0.05)[..., None],
+            new_throughput,
+        )
+        alive = cont & ~killed & (jnp.max(new_throughput, axis=-1) > 0.0)
+
+        return _LoopState(
+            bounce=k + 1,
+            o=jnp.where(hit[..., None], hr.position, st.o),
+            d=jnp.where(cont[..., None], sr.direction, st.d),
+            time=st.time,
+            ior=jnp.where(cont[..., None], sr.ior, st.ior),
+            throughput=jnp.where(cont[..., None], new_throughput, st.throughput),
+            active=st.active & alive,
+            acc=acc,
+            geom_len=geom_len,
+            opt_len=opt_len,
+            prev_pdf=jnp.where(is_random, sr.pdf, 0.0),
+            prev_random=is_random,
+        )
+
+    if params.differentiable:
+        # Fixed trip count + per-bounce rematerialization: reverse-mode works
+        # and residual memory stays O(state) instead of O(state * depth).
+        body_ckpt = jax.checkpoint(body)
+        final = jax.lax.fori_loop(
+            0, params.max_path_components, lambda _, st: body_ckpt(st), init
+        )
+    else:
+        final = jax.lax.while_loop(cond, body, init)
+    return final.acc
+
+
+# ---------------------------------------------------------------------------
+# Frame renderer (the mcpt() equivalent)
+# ---------------------------------------------------------------------------
+
+def render_frame(
+    scene: SceneArrays,
+    static: SceneStatic,
+    cam: CameraParams,
+    cam_cfg: CameraConfig,
+    sensor,
+    width: int,
+    height: int,
+    samples_sqrt: int,
+    t0: float = 0.0,
+    t1: float = 0.0,
+    params: RenderParams = RenderParams(),
+    samples_per_pass: int = 1,
+):
+    """Render a full frame: stratified samples per pixel, sample-batch loop in
+    jit (`lax.fori_loop` over passes), sensor finish at the end.
+
+    Equivalent of ``mcpt(sensor, camera, scene, samplesSqrt, t0, t1, params)``
+    (wurblpt.hpp:279-449). Returns the finished image [height, width, n_acc].
+    """
+    spp = samples_sqrt * samples_sqrt
+    assert spp % samples_per_pass == 0, "samples_per_pass must divide spp"
+    n_pass = spp // samples_per_pass
+    n_pix = width * height
+
+    pixel_id = jnp.arange(n_pix, dtype=jnp.int32)
+    px = (pixel_id % width).astype(jnp.float32)
+    py = (pixel_id // width).astype(jnp.float32)
+
+    t0f = jnp.float32(t0)
+    t1f = jnp.float32(t1)
+
+    def one_pass(p, img_acc):
+        def one_sample(s_local, img_acc):
+            s = p * samples_per_pass + s_local
+            # stratified jitter (wurblpt.hpp:350-359)
+            si = (s % samples_sqrt).astype(jnp.float32)
+            sj = (s // samples_sqrt).astype(jnp.float32)
+            uj = uniform2(pixel_id, s, 0, Salt.PIXEL_JITTER)
+            if params.randomize_ray_over_pixel:
+                jx = (si + uj[..., 0]) / samples_sqrt
+                jy = (sj + uj[..., 1]) / samples_sqrt
+            else:
+                jx = jnp.full((n_pix,), 0.5)
+                jy = jnp.full((n_pix,), 0.5)
+            pxy = jnp.stack([px + jx, py + jy], axis=-1)
+            u_time = uniform1(pixel_id, s, 0, Salt.TIME)
+            u_lens = uniform2(pixel_id, s, 0, Salt.LENS)
+            o, d, time = camera_rays(
+                cam, cam_cfg, pxy, width, height, t0f, t1f, u_time, u_lens
+            )
+            acc = trace_paths(
+                scene, static, sensor, o, d, time,
+                pixel_id, jnp.full((n_pix,), s, jnp.int32), params,
+            )
+            return img_acc + acc
+
+        return jax.lax.fori_loop(
+            0, samples_per_pass, lambda sl, ia: one_sample(jnp.int32(sl), ia), img_acc
+        )
+
+    img = jax.lax.fori_loop(
+        0, n_pass, lambda pp, ia: one_pass(jnp.int32(pp), ia),
+        jnp.zeros((n_pix, sensor.n_acc)),
+    )
+    img = sensor.finish(img, 1.0 / spp)
+    return img.reshape(height, width, sensor.n_acc)

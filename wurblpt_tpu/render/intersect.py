@@ -1,0 +1,303 @@
+"""Ray-primitive intersection for the wavefront integrator.
+
+The reference intersects through virtual ``Hitable::hit`` calls under a stack-based
+BVH traversal (``bvh.hpp:277-311``, ``hitable_triangle.hpp:189-274``,
+``hitable_sphere.hpp:128-151``). On TPU we intersect a whole ray batch against
+primitive *tiles*: a [RAYS x TILE] broadcasted test is pure VPU work that XLA
+pipelines well; a `lax.fori_loop` over tiles keeps peak memory bounded. For scenes
+beyond ~100k primitives the threaded-BVH path (:mod:`wurblpt_tpu.accel`) culls
+tiles first.
+
+Triangle test: Moller-Trumbore on precomputed (p0, e1, e2). The reference uses
+Woop's watertight test with a double-precision fallback (hitable_triangle.hpp:
+240-250); TPUs have no fast f64, so we keep the scaled-epsilon MT test — parity
+holds on the benchmark scenes and a compensated-arithmetic edge re-test is a
+planned upgrade (SURVEY.md section 7 "hard parts").
+
+All functions are differentiable; hit distances and barycentrics carry gradients
+to the vertex data.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.onb import onb_from_normal
+from ..core.vecmath import cross, dot, normalize
+from ..scene.ir import SceneArrays, Triangles
+
+BIG = jnp.float32(3.0e37)
+TRI_TILE = 1024
+
+
+class HitRecord(NamedTuple):
+    """Per-ray hit data (reference HitRecord, ``hitable.hpp:39-64``)."""
+
+    t: jnp.ndarray          # [N] hit distance (BIG = miss)
+    hit: jnp.ndarray        # [N] bool
+    prim: jnp.ndarray       # [N] int32 global prim id (tri: i, sphere: T + j)
+    position: jnp.ndarray   # [N, 3]
+    normal: jnp.ndarray     # [N, 3] shading normal (front-facing)
+    geom_normal: jnp.ndarray  # [N, 3] geometric normal (front-facing)
+    tangent: jnp.ndarray    # [N, 3]
+    uv: jnp.ndarray         # [N, 2]
+    backside: jnp.ndarray   # [N] bool
+    mat: jnp.ndarray        # [N] int32
+
+
+# ---------------------------------------------------------------------------
+# Primitive tests (batched)
+# ---------------------------------------------------------------------------
+
+def ray_tri_tile(o, d, p0, e1, e2, t_min, t_max):
+    """Intersect rays [N,3] with a triangle tile [T,3].
+
+    Returns (t [N,T], u [N,T], v [N,T], valid [N,T]).
+    """
+    # Broadcast [N,1,3] x [1,T,3]
+    o = o[:, None, :]
+    d = d[:, None, :]
+    p0 = p0[None, :, :]
+    e1 = e1[None, :, :]
+    e2 = e2[None, :, :]
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = o - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    valid = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min[:, None])
+        & (t < t_max[:, None])
+    )
+    return t, u, v, valid
+
+
+def ray_sphere_tile(o, d, center, radius, t_min, t_max):
+    """Numerically stable sphere quadratic (hitable_sphere.hpp:128-151).
+
+    Returns (t [N,S], valid [N,S]).
+    """
+    oc = o[:, None, :] - center[None, :, :]
+    dd = d[:, None, :]
+    a = jnp.sum(dd * dd, axis=-1)
+    half_b = jnp.sum(oc * dd, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
+    disc = half_b * half_b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Stable roots: q = -(half_b + sign(half_b)*sq); t0 = q/a, t1 = c/q.
+    q = -(half_b + jnp.sign(half_b) * sq)
+    t0 = q / jnp.maximum(a, 1e-20)
+    t1 = c / jnp.where(jnp.abs(q) > 1e-20, q, 1.0)
+    tlo = jnp.minimum(t0, t1)
+    thi = jnp.maximum(t0, t1)
+    t = jnp.where(tlo > t_min[:, None], tlo, thi)
+    valid = (disc > 0.0) & (t > t_min[:, None]) & (t < t_max[:, None])
+    return jnp.where(valid, t, BIG), valid
+
+
+# ---------------------------------------------------------------------------
+# Closest hit over the whole scene (tiled brute force)
+# ---------------------------------------------------------------------------
+
+def _closest_tris(o, d, tris: Triangles, t_min, t_max, best):
+    """Fold triangle tiles into the running best (t, prim, u, v)."""
+    n_tri = tris.count
+    if n_tri == 0:
+        return best
+    n_tiles = -(-n_tri // TRI_TILE)
+    pad = n_tiles * TRI_TILE - n_tri
+
+    def padded(x):
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+    p0 = padded(tris.p0).reshape(n_tiles, TRI_TILE, 3)
+    e1 = padded(tris.e1).reshape(n_tiles, TRI_TILE, 3)
+    e2 = padded(tris.e2).reshape(n_tiles, TRI_TILE, 3)
+
+    def body(i, best):
+        bt, bp, bu, bv = best
+        t, u, v, valid = ray_tri_tile(o, d, p0[i], e1[i], e2[i], t_min, t_max)
+        tri_ids = i * TRI_TILE + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        valid &= tri_ids < n_tri
+        t = jnp.where(valid, t, BIG)
+        j = jnp.argmin(t, axis=1)
+        rows = jnp.arange(t.shape[0])
+        tj = t[rows, j]
+        closer = tj < bt
+        return (
+            jnp.where(closer, tj, bt),
+            jnp.where(closer, tri_ids[rows, j], bp),
+            jnp.where(closer, u[rows, j], bu),
+            jnp.where(closer, v[rows, j], bv),
+        )
+
+    if n_tiles == 1:
+        return body(0, best)
+    return jax.lax.fori_loop(0, n_tiles, body, best)
+
+
+def _closest_spheres(o, d, scene: SceneArrays, t_min, t_max, best):
+    n_sph = scene.spheres.count
+    if n_sph == 0:
+        return best
+    bt, bp, bu, bv = best
+    t, valid = ray_sphere_tile(o, d, scene.spheres.center, scene.spheres.radius, t_min, t_max)
+    t = jnp.where(valid, t, BIG)
+    j = jnp.argmin(t, axis=1)
+    rows = jnp.arange(t.shape[0])
+    tj = t[rows, j]
+    closer = tj < bt
+    prim = scene.n_tris + j
+    return (
+        jnp.where(closer, tj, bt),
+        jnp.where(closer, prim, bp),
+        jnp.where(closer, 0.0, bu),
+        jnp.where(closer, 0.0, bv),
+    )
+
+
+def scene_raw_hit(scene: SceneArrays, o, d, t_min, t_max):
+    """Closest-hit over all primitives. Returns (t, prim, u, v); prim = -1 on miss."""
+    n = o.shape[0]
+    best = (
+        jnp.full((n,), BIG),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,)),
+        jnp.zeros((n,)),
+    )
+    if scene.bvh is not None:
+        from ..accel.traverse import bvh_closest_hit
+
+        return bvh_closest_hit(scene, o, d, t_min, t_max)
+    best = _closest_tris(o, d, scene.tris, t_min, t_max, best)
+    best = _closest_spheres(o, d, scene, t_min, t_max, best)
+    return best
+
+
+def scene_any_hit(scene: SceneArrays, o, d, t_min, t_max):
+    """Occlusion test (shadow rays). Returns (hit_t, hit_prim): nearest hit like
+    the reference's visibility check, which needs the identity of the blocker
+    (wurblpt.hpp:203-217 checks directHR.hitable == hotSpots[i])."""
+    return scene_raw_hit(scene, o, d, t_min, t_max)
+
+
+# ---------------------------------------------------------------------------
+# Hit record assembly
+# ---------------------------------------------------------------------------
+
+def _sphere_uv_tangent(local_pos_unit):
+    """Lat/long texcoords + pole-safe tangent (hitable_sphere.hpp:43-75)."""
+    x, y, z = local_pos_unit[..., 0], local_pos_unit[..., 1], local_pos_unit[..., 2]
+    u = 0.5 + jnp.arctan2(x, z) / (2.0 * jnp.pi)
+    v = 0.5 + jnp.arcsin(jnp.clip(y, -1.0, 1.0)) / jnp.pi
+    tangent = jnp.stack([z, jnp.zeros_like(y), -x], axis=-1)
+    ln = jnp.sqrt(jnp.sum(tangent * tangent, axis=-1, keepdims=True))
+    pole = ln < 1e-6
+    tangent = jnp.where(pole, jnp.array([1.0, 0.0, 0.0]), tangent / jnp.maximum(ln, 1e-20))
+    return jnp.stack([u, v], axis=-1), tangent
+
+
+def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v) -> HitRecord:
+    """Gather per-prim attributes for winning prims and build the HitRecord.
+
+    Interpolated normals/texcoords/tangents + Gram-Schmidt, front-face flip and
+    backside flag match ``hitable_triangle.hpp:276-325``.
+    """
+    n_tri = scene.n_tris
+    hit = prim >= 0
+    prim_safe = jnp.maximum(prim, 0)
+    is_tri = hit & (prim_safe < n_tri) if n_tri > 0 else jnp.zeros_like(hit)
+
+    position = o + t[..., None] * d
+
+    if n_tri > 0:
+        ti = jnp.clip(prim_safe, 0, n_tri - 1)
+        T = scene.tris
+        w = 1.0 - u - v
+        n_interp = (
+            w[..., None] * T.n0[ti] + u[..., None] * T.n1[ti] + v[..., None] * T.n2[ti]
+        )
+        n_interp = normalize(n_interp)
+        gn = normalize(cross(T.e1[ti], T.e2[ti]))
+        uv_tri = (
+            w[..., None] * T.uv0[ti] + u[..., None] * T.uv1[ti] + v[..., None] * T.uv2[ti]
+        )
+        tan_raw = (
+            w[..., None] * T.tan0[ti] + u[..., None] * T.tan1[ti] + v[..., None] * T.tan2[ti]
+        )
+        has_tan = (T.flags[ti] & 2) > 0
+        # Gram-Schmidt the interpolated tangent against the shading normal.
+        tan_gs = tan_raw - dot(tan_raw, n_interp, keepdims=True) * n_interp
+        tan_len = jnp.sqrt(jnp.maximum(dot(tan_gs, tan_gs), 0.0))
+        tan_fallback, _ = onb_from_normal(n_interp)
+        tan_tri = jnp.where(
+            (has_tan & (tan_len > 1e-8))[..., None],
+            tan_gs / jnp.maximum(tan_len, 1e-20)[..., None],
+            tan_fallback,
+        )
+        mat_tri = T.mat[ti]
+    else:
+        zeros3 = jnp.zeros_like(position)
+        n_interp = zeros3
+        gn = zeros3
+        uv_tri = jnp.zeros(position.shape[:-1] + (2,))
+        tan_tri = zeros3
+        mat_tri = jnp.zeros(position.shape[:-1], jnp.int32)
+
+    if scene.n_spheres > 0:
+        si = jnp.clip(prim_safe - n_tri, 0, scene.n_spheres - 1)
+        S = scene.spheres
+        center = S.center[si]
+        radius = S.radius[si]
+        local = (position - center) / jnp.maximum(radius, 1e-20)[..., None]
+        n_sph = normalize(local)
+        uv_sph, tan_sph = _sphere_uv_tangent(n_sph)
+        mat_sph = S.mat[si]
+    else:
+        n_sph = jnp.zeros_like(position)
+        uv_sph = jnp.zeros(position.shape[:-1] + (2,))
+        tan_sph = jnp.zeros_like(position)
+        mat_sph = jnp.zeros(position.shape[:-1], jnp.int32)
+
+    sel = is_tri[..., None]
+    normal = jnp.where(sel, n_interp, n_sph)
+    geom_normal = jnp.where(sel, gn, n_sph)
+    uv_out = jnp.where(sel[..., :1] if sel.shape[-1] == 1 else sel, uv_tri, uv_sph)
+    tangent = jnp.where(sel, tan_tri, tan_sph)
+    mat = jnp.where(is_tri, mat_tri, mat_sph)
+
+    # Backside: geometric normal faces away from the incoming ray.
+    backside = dot(d, geom_normal) > 0.0
+    flip = jnp.where(backside, -1.0, 1.0)[..., None]
+    normal = normal * flip
+    geom_normal = geom_normal * flip
+
+    return HitRecord(
+        t=t,
+        hit=hit,
+        prim=jnp.where(hit, prim, -1),
+        position=position,
+        normal=normal,
+        geom_normal=geom_normal,
+        tangent=tangent,
+        uv=uv_out,
+        backside=backside & hit,
+        mat=jnp.where(hit, mat, 0),
+    )
+
+
+def scene_closest_hit(scene: SceneArrays, o, d, t_min, t_max) -> HitRecord:
+    t, prim, u, v = scene_raw_hit(scene, o, d, t_min, t_max)
+    return assemble_hit(scene, o, d, t, prim, u, v)

@@ -1,0 +1,180 @@
+"""Device-side texture evaluation.
+
+Replaces the reference's virtual ``Texture::value(texcoords, t)`` dispatch
+(``texture.hpp:47-158``) with masked evaluation over integer type codes. Image
+textures sample a single padded stack with per-texture (h, w) — bilinear
+filtering and fract-wrap addressing per ``texture_image.hpp:182-212``. Procedural
+noise types (``texture_noise.hpp``) are hash-based and deterministic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rng import hash4
+from ..scene.ir import TextureTable, TextureType
+
+
+def _hash01(ix, iy, seed):
+    v0, _, _, _ = hash4(ix, iy, seed, 0x9E3779B9)
+    return (v0 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+
+
+def _hash_grad2(ix, iy, seed):
+    """Unit 2D gradient from lattice coords."""
+    ang = _hash01(ix, iy, seed) * (2.0 * jnp.pi)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _value_noise(u, v, seed):
+    iu, iv = jnp.floor(u), jnp.floor(v)
+    fu, fv = u - iu, v - iv
+    iu, iv = iu.astype(jnp.int32), iv.astype(jnp.int32)
+    su = fu * fu * (3.0 - 2.0 * fu)
+    sv = fv * fv * (3.0 - 2.0 * fv)
+    a = _hash01(iu, iv, seed)
+    b = _hash01(iu + 1, iv, seed)
+    c = _hash01(iu, iv + 1, seed)
+    d = _hash01(iu + 1, iv + 1, seed)
+    return (a * (1 - su) + b * su) * (1 - sv) + (c * (1 - su) + d * su) * sv
+
+
+def _gradient_noise(u, v, seed):
+    iu, iv = jnp.floor(u), jnp.floor(v)
+    fu, fv = u - iu, v - iv
+    iu, iv = iu.astype(jnp.int32), iv.astype(jnp.int32)
+    su = fu * fu * fu * (fu * (fu * 6.0 - 15.0) + 10.0)
+    sv = fv * fv * fv * (fv * (fv * 6.0 - 15.0) + 10.0)
+
+    def g(dx, dy):
+        gx, gy = _hash_grad2(iu + dx, iv + dy, seed)
+        return gx * (fu - dx) + gy * (fv - dy)
+
+    a, b, c, d = g(0, 0), g(1, 0), g(0, 1), g(1, 1)
+    n = (a * (1 - su) + b * su) * (1 - sv) + (c * (1 - su) + d * su) * sv
+    return 0.5 + 0.5 * n * 1.4142  # remap approx to [0,1]
+
+
+def _worley_noise(u, v, seed):
+    iu, iv = jnp.floor(u).astype(jnp.int32), jnp.floor(v).astype(jnp.int32)
+    fu, fv = u - jnp.floor(u), v - jnp.floor(v)
+    dmin = jnp.full_like(u, 8.0)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            px = _hash01(iu + dx, iv + dy, seed) + dx
+            py = _hash01(iu + dx, iv + dy, seed + 77) + dy
+            d2 = (px - fu) ** 2 + (py - fv) ** 2
+            dmin = jnp.minimum(dmin, d2)
+    return jnp.sqrt(dmin)
+
+
+def _fbm(noise_fn, u, v, octaves_f, gain, seed, max_octaves: int = 8):
+    """Fixed-unrolled fractal sum; octaves_f masks active octaves per lane."""
+    total = jnp.zeros_like(u)
+    norm = jnp.zeros_like(u)
+    amp = jnp.ones_like(u)
+    for o in range(max_octaves):
+        active = (octaves_f > o).astype(u.dtype)
+        total = total + active * amp * noise_fn(u * (2.0 ** o), v * (2.0 ** o), seed + o)
+        norm = norm + active * amp
+        amp = amp * gain
+    return total / jnp.maximum(norm, 1e-8)
+
+
+def _bilinear_stack(tt: TextureTable, image_id, u, v, linear):
+    """Per-lane bilinear lookup in the padded image stack with fract-wrap."""
+    img = tt.img_data
+    h = tt.img_hw[image_id, 0].astype(jnp.float32)
+    w = tt.img_hw[image_id, 1].astype(jnp.float32)
+    # fract wrap (texture_image.hpp wrap semantics)
+    uu = u - jnp.floor(u)
+    vv = v - jnp.floor(v)
+    # v flip: texture row 0 is top; uv origin bottom-left.
+    vv = 1.0 - vv
+    x = uu * w - 0.5
+    y = vv * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = jnp.where(linear, x - x0, jnp.round(x - x0))
+    fy = jnp.where(linear, y - y0, jnp.round(y - y0))
+    wi = tt.img_hw[image_id, 1]
+    hi = tt.img_hw[image_id, 0]
+    x0i = jnp.mod(x0.astype(jnp.int32), wi)
+    x1i = jnp.mod(x0i + 1, wi)
+    y0i = jnp.mod(y0.astype(jnp.int32), hi)
+    y1i = jnp.mod(y0i + 1, hi)
+    c00 = img[image_id, y0i, x0i].astype(jnp.float32)
+    c01 = img[image_id, y0i, x1i].astype(jnp.float32)
+    c10 = img[image_id, y1i, x0i].astype(jnp.float32)
+    c11 = img[image_id, y1i, x1i].astype(jnp.float32)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+
+
+def sample_texture(tt: TextureTable, tex_id, uv, time=None):
+    """Evaluate textures for a lane batch. tex_id [N] int32 (>= 0), uv [N, 2].
+
+    Returns [N, 4] RGBA/RGB+NIR values after the flattened transformer affine
+    (texture.hpp:207-246 semantics).
+    """
+    tex_id = jnp.clip(tex_id, 0, tt.count - 1)
+    typ = tt.typ[tex_id]
+    params = tt.params[tex_id]
+    u = uv[..., 0] * tt.uv_scale[tex_id, 0] + tt.uv_offset[tex_id, 0]
+    v = uv[..., 1] * tt.uv_scale[tex_id, 1] + tt.uv_offset[tex_id, 1]
+
+    out = params[..., 0:4]  # CONSTANT
+
+    # CHECKER (texture.hpp:182-205): squares indexed by floor(u)+floor(v) parity.
+    cell = (jnp.floor(u) + jnp.floor(v)).astype(jnp.int32)
+    checker = jnp.where(
+        (cell % 2 == 0)[..., None], params[..., 0:4], params[..., 4:8]
+    )
+    out = jnp.where((typ == TextureType.CHECKER)[..., None], checker, out)
+
+    if tt.img_data.shape[0] > 0:
+        img_val = _bilinear_stack(
+            tt, jnp.maximum(tt.image_id[tex_id], 0), u, v, params[..., 0] > 0.5
+        )
+        out = jnp.where((typ == TextureType.IMAGE)[..., None], img_val, out)
+
+    # Noise types
+    octaves = params[..., 0]
+    freq = params[..., 1]
+    gain = params[..., 2]
+    seed = params[..., 3].astype(jnp.int32)
+    any_noise = (typ >= TextureType.VALUE_NOISE) & (typ <= TextureType.PERLIN_NOISE)
+    # Only pay for noise evaluation if the scene contains noise textures: this
+    # is a trace-time check on host metadata, so XLA never sees dead code.
+    nu, nv = u * freq, v * freq
+    noise_val = jnp.zeros_like(u)
+    noise_val = jnp.where(typ == TextureType.VALUE_NOISE, _fbm(_value_noise, nu, nv, octaves, gain, seed), noise_val)
+    noise_val = jnp.where(typ == TextureType.GRADIENT_NOISE, _fbm(_gradient_noise, nu, nv, octaves, gain, seed), noise_val)
+    noise_val = jnp.where(typ == TextureType.WORLEY_NOISE, _worley_noise(nu, nv, seed), noise_val)
+    noise_val = jnp.where(typ == TextureType.PERLIN_NOISE, _fbm(_gradient_noise, nu, nv, octaves, gain, seed), noise_val)
+    out = jnp.where(any_noise[..., None], noise_val[..., None], out)
+
+    return out * tt.val_scale[tex_id] + tt.val_offset[tex_id]
+
+
+def material_albedo(scene, mat_ids, uv):
+    """albedo texture if present, else constant column."""
+    mt = scene.materials
+    const = mt.albedo[mat_ids]
+    if scene.textures.count == 0:
+        return const
+    tex_id = mt.albedo_tex[mat_ids]
+    texed = sample_texture(scene.textures, tex_id, uv)
+    return jnp.where((tex_id >= 0)[..., None], texed * const, const)
+
+
+def material_emissive(scene, mat_ids, uv):
+    mt = scene.materials
+    const = mt.emissive[mat_ids]
+    if scene.textures.count == 0:
+        return const
+    tex_id = mt.emissive_tex[mat_ids]
+    texed = sample_texture(scene.textures, tex_id, uv)
+    return jnp.where((tex_id >= 0)[..., None], texed * const, const)

@@ -1,0 +1,430 @@
+"""Flatten a host `Scene` into device `SceneArrays`.
+
+This is the "compiler" from the ergonomic object API to the SoA IR: the analog of
+the work the reference does lazily via ``Scene::updateBVH`` + per-hitable virtual
+state (``scene.hpp:151-169``), done once up front with numpy.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import color as colorlib
+from ..core.transform import Transformation
+from . import builder as B
+from .geometryproc import compute_normals, compute_tangents
+from .ir import (
+    AnimTable,
+    EnvMapArrays,
+    MaterialFlags,
+    MaterialTable,
+    MaterialType,
+    SceneArrays,
+    Spheres,
+    TextureTable,
+    TextureType,
+    Triangles,
+    empty_envmap,
+)
+
+_f32 = np.float32
+_i32 = np.int32
+
+
+class _TextureCollector:
+    def __init__(self):
+        self.descs: List[B.Texture] = []
+        self.images: List[np.ndarray] = []
+
+    def add(self, tex) -> int:
+        if tex is None:
+            return -1
+        if not isinstance(tex, B.Texture):
+            # Bare color -> constant texture is wasteful; callers keep constants
+            # in the material table. Only Texture instances get table entries.
+            raise TypeError(f"not a texture: {tex!r}")
+        idx = len(self.descs)
+        self.descs.append(tex)
+        return idx
+
+    def add_image(self, img: np.ndarray, srgb: bool) -> int:
+        img = np.asarray(img)
+        if img.dtype == np.uint8:
+            imgf = img.astype(_f32) / 255.0
+            if srgb:
+                imgf = np.asarray(colorlib.srgb_to_rgb(imgf))
+        else:
+            imgf = img.astype(_f32)
+        if imgf.ndim == 2:
+            imgf = imgf[..., None]
+        c = imgf.shape[-1]
+        if c == 1:
+            imgf = np.concatenate([imgf] * 3 + [np.mean(imgf, -1, keepdims=True)], -1)
+        elif c == 2:
+            # gray + alpha: replicate gray, keep alpha in NIR slot
+            imgf = np.concatenate([imgf[..., :1]] * 3 + [imgf[..., 1:2]], -1)
+        elif c == 3:
+            nir = np.mean(imgf, -1, keepdims=True)
+            imgf = np.concatenate([imgf, nir], -1)
+        idx = len(self.images)
+        self.images.append(imgf.astype(np.float16))
+        return idx
+
+    def build(self) -> TextureTable:
+        nt = len(self.descs)
+        typ = np.zeros((nt,), _i32)
+        params = np.zeros((nt, 8), _f32)
+        uv_scale = np.ones((nt, 2), _f32)
+        uv_offset = np.zeros((nt, 2), _f32)
+        val_scale = np.ones((nt, 4), _f32)
+        val_offset = np.zeros((nt, 4), _f32)
+        image_id = np.full((nt,), -1, _i32)
+
+        for i, t in enumerate(self.descs):
+            uv_scale[i] = t.uv_scale
+            uv_offset[i] = t.uv_offset
+            val_scale[i] = t.val_scale
+            val_offset[i] = t.val_offset
+            if isinstance(t, B.ConstantTexture):
+                typ[i] = TextureType.CONSTANT
+                params[i, 0:4] = B._vec4(t.color)
+            elif isinstance(t, B.CheckerTexture):
+                typ[i] = TextureType.CHECKER
+                params[i, 0:4] = B._vec4(t.color1)
+                params[i, 4:8] = B._vec4(t.color2)
+                uv_scale[i] = (t.squares[0], t.squares[1])
+            elif isinstance(t, B.ImageTexture):
+                typ[i] = TextureType.IMAGE
+                image_id[i] = self.add_image(t.image, t.srgb)
+                params[i, 0] = 1.0 if t.linear_filtering else 0.0
+            elif isinstance(t, B.NoiseTexture):
+                typ[i] = t.kind
+                params[i, 0] = float(t.octaves)
+                params[i, 1] = t.frequency
+                params[i, 2] = t.gain
+                params[i, 3] = float(t.seed)
+            else:
+                raise TypeError(f"unknown texture type {t!r}")
+
+        if self.images:
+            hmax = max(im.shape[0] for im in self.images)
+            wmax = max(im.shape[1] for im in self.images)
+            stack = np.zeros((len(self.images), hmax, wmax, 4), np.float16)
+            hw = np.zeros((len(self.images), 2), _i32)
+            for i, im in enumerate(self.images):
+                stack[i, : im.shape[0], : im.shape[1]] = im
+                hw[i] = (im.shape[0], im.shape[1])
+        else:
+            stack = np.zeros((0, 1, 1, 4), np.float16)
+            hw = np.zeros((0, 2), _i32)
+
+        return TextureTable(
+            typ=jnp.asarray(typ),
+            params=jnp.asarray(params),
+            uv_scale=jnp.asarray(uv_scale),
+            uv_offset=jnp.asarray(uv_offset),
+            val_scale=jnp.asarray(val_scale),
+            val_offset=jnp.asarray(val_offset),
+            image_id=jnp.asarray(image_id),
+            img_data=jnp.asarray(stack),
+            img_hw=jnp.asarray(hw),
+        )
+
+
+def _tex_or_color(val, collector: _TextureCollector, default=(0.0, 0.0, 0.0)):
+    """Returns (constant_vec4, tex_id)."""
+    if val is None:
+        return B._vec4(default), -1
+    if isinstance(val, B.Texture):
+        return np.ones(4, _f32), collector.add(val)
+    return B._vec4(val), -1
+
+
+def _flatten_materials(materials, collector: _TextureCollector, rgl_names) -> MaterialTable:
+    m = len(materials)
+    typ = np.zeros((m,), _i32)
+    flags = np.zeros((m,), _i32)
+    albedo = np.zeros((m, 4), _f32)
+    albedo_tex = np.full((m,), -1, _i32)
+    emissive = np.zeros((m, 4), _f32)
+    emissive_tex = np.full((m,), -1, _i32)
+    p0 = np.zeros((m, 4), _f32)
+    p1 = np.zeros((m, 4), _f32)
+    normal_tex = np.full((m,), -1, _i32)
+    rgl_id = np.full((m,), -1, _i32)
+
+    for i, mat in enumerate(materials):
+        if mat.two_sided:
+            flags[i] |= MaterialFlags.TWO_SIDED
+        if mat.normal_map is not None:
+            normal_tex[i] = collector.add(mat.normal_map)
+        if isinstance(mat, B.Lambertian):
+            typ[i] = MaterialType.LAMBERTIAN
+            albedo[i], albedo_tex[i] = _tex_or_color(mat.albedo, collector)
+        elif isinstance(mat, B.GGX):
+            typ[i] = MaterialType.GGX
+            albedo[i], albedo_tex[i] = _tex_or_color(mat.albedo, collector)
+            r = mat.roughness
+            if np.isscalar(r):
+                r = (r, r)
+            p0[i, 0:2] = np.maximum(np.asarray(r, _f32), 1e-4)
+        elif isinstance(mat, B.Glass):
+            typ[i] = MaterialType.GLASS
+            ior = np.asarray(mat.ior, _f32).reshape(-1)
+            if ior.size == 1:
+                ior = np.repeat(ior, 4)
+            elif ior.size == 3:
+                ior = np.concatenate([ior, ior[-1:]])
+            p0[i] = ior
+            p1[i] = B._vec4(mat.absorption, nir=0.0) if np.asarray(mat.absorption).size != 4 else np.asarray(mat.absorption, _f32)
+            albedo[i] = 1.0
+        elif isinstance(mat, B.Mirror):
+            typ[i] = MaterialType.MIRROR
+            albedo[i], albedo_tex[i] = _tex_or_color(mat.color, collector, default=(1, 1, 1))
+        elif isinstance(mat, B.ModPhong):
+            typ[i] = MaterialType.MODPHONG
+            albedo[i], albedo_tex[i] = _tex_or_color(mat.diffuse, collector)
+            spec, spec_tex = _tex_or_color(mat.specular, collector)
+            p1[i] = spec
+            p0[i, 0] = mat.shininess
+            p0[i, 1] = mat.opacity
+            # Lobe-selection probability from relative energies
+            # (material_modphong.hpp:213-220): ps = max(spec) / (max(diff)+max(spec)).
+            kd = float(np.max(albedo[i][:3]))
+            ks = float(np.max(spec[:3]))
+            p0[i, 2] = ks / (kd + ks) if (kd + ks) > 0 else 0.0
+            emissive[i], emissive_tex[i] = _tex_or_color(mat.emissive, collector)
+        elif isinstance(mat, B.PhaseIso):
+            typ[i] = MaterialType.PHASE_ISO
+            albedo[i], albedo_tex[i] = _tex_or_color(mat.albedo, collector, default=(1, 1, 1))
+        elif isinstance(mat, B.LightDiffuse):
+            typ[i] = MaterialType.LIGHT_DIFFUSE
+            emissive[i], emissive_tex[i] = _tex_or_color(mat.radiance, collector)
+        elif isinstance(mat, B.LightSpot):
+            typ[i] = MaterialType.LIGHT_SPOT
+            emissive[i], emissive_tex[i] = _tex_or_color(mat.radiance, collector)
+            p0[i, 0] = np.cos(mat.half_angle)
+        elif isinstance(mat, B.LightTof):
+            typ[i] = MaterialType.LIGHT_TOF
+            flags[i] |= MaterialFlags.TOF_LIGHT
+            emissive[i] = (0.0, 0.0, 0.0, mat.radiance_w)
+            p0[i, 0] = np.cos(mat.half_angle)
+        elif isinstance(mat, B.RGLMaterial):
+            typ[i] = MaterialType.RGL
+            rgl_id[i] = rgl_names.get(mat.table_name, -1)
+        else:
+            raise TypeError(f"unknown material {mat!r}")
+
+    return MaterialTable(
+        typ=jnp.asarray(typ),
+        flags=jnp.asarray(flags),
+        albedo=jnp.asarray(albedo),
+        albedo_tex=jnp.asarray(albedo_tex),
+        emissive=jnp.asarray(emissive),
+        emissive_tex=jnp.asarray(emissive_tex),
+        p0=jnp.asarray(p0),
+        p1=jnp.asarray(p1),
+        normal_tex=jnp.asarray(normal_tex),
+        rgl_id=jnp.asarray(rgl_id),
+    )
+
+
+def _flatten_animations(anims) -> AnimTable:
+    n = len(anims)
+    kmax = 1
+    for a in anims:
+        if a is not None:
+            kmax = max(kmax, len(a.times))
+    times = np.full((n, kmax), np.inf, _f32)
+    trans = np.zeros((n, kmax, 3), _f32)
+    rot = np.zeros((n, kmax, 4), _f32)
+    rot[..., 3] = 1.0
+    scale = np.ones((n, kmax, 3), _f32)
+    nkeys = np.ones((n,), _i32)
+    times[:, 0] = 0.0
+    for i, a in enumerate(anims):
+        if a is None:
+            continue
+        k = len(a.times)
+        nkeys[i] = k
+        times[i, :k] = np.asarray(a.times, _f32)
+        for j, tf in enumerate(a.transformations):
+            trans[i, j] = np.asarray(tf.translation)
+            rot[i, j] = np.asarray(tf.rotation)
+            scale[i, j] = np.asarray(tf.scale)
+        # pad tail with last keyframe so clamping works
+        trans[i, k:] = trans[i, k - 1]
+        rot[i, k:] = rot[i, k - 1]
+        scale[i, k:] = scale[i, k - 1]
+    return AnimTable(
+        times=jnp.asarray(times),
+        trans=jnp.asarray(trans),
+        rot=jnp.asarray(rot),
+        scale=jnp.asarray(scale),
+        nkeys=jnp.asarray(nkeys),
+    )
+
+
+def _bake_transform(tf: Optional[Transformation], pos, nrm, tan):
+    if tf is None:
+        return pos, nrm, tan
+    t = np.asarray(tf.translation, _f32)
+    q = np.asarray(tf.rotation, _f32)
+    s = np.asarray(tf.scale, _f32)
+
+    def rot(v):
+        u, w = q[:3], q[3]
+        tq = 2.0 * np.cross(u, v)
+        return v + w * tq + np.cross(u, tq)
+
+    pos = rot(pos * s) + t
+    if nrm is not None:
+        nn = rot(nrm / s)
+        nrm = nn / np.maximum(np.linalg.norm(nn, axis=-1, keepdims=True), 1e-20)
+    if tan is not None:
+        tn = rot(tan * s)
+        tan = tn / np.maximum(np.linalg.norm(tn, axis=-1, keepdims=True), 1e-20)
+    return pos, nrm, tan
+
+
+def flatten_scene(scene, max_image_dim: int = 2048) -> SceneArrays:
+    collector = _TextureCollector()
+
+    rgl_names = {name: i for i, name in enumerate(scene._rgl_tables)}
+    materials = _flatten_materials(scene._materials, collector, rgl_names)
+
+    # --- triangles ---------------------------------------------------------
+    p0s, e1s, e2s = [], [], []
+    n0s, n1s, n2s = [], [], []
+    uv0s, uv1s, uv2s = [], [], []
+    t0s, t1s, t2s = [], [], []
+    mats, anims_idx, flags_list = [], [], []
+    tri_hot = []
+    tri_count = 0
+    light_prims = []
+
+    def add_instance(inst: B.MeshInstance, hot: bool):
+        nonlocal tri_count
+        mesh = inst.mesh
+        mat_id = scene._resolve_material(inst.material)
+        pos = mesh.positions
+        nrm = mesh.normals
+        uv = mesh.texcoords
+        tan = mesh.tangents
+        if nrm is None:
+            nrm = compute_normals(pos, mesh.indices)
+        if tan is None and uv is not None:
+            tan = compute_tangents(pos, nrm, uv, mesh.indices)
+        anim_id = inst.animation if inst.animation is not None else 0
+        if anim_id == 0:
+            pos, nrm, tan = _bake_transform(inst.transformation, pos, nrm, tan)
+        f = mesh.indices
+        nf = len(f)
+        v0, v1, v2 = pos[f[:, 0]], pos[f[:, 1]], pos[f[:, 2]]
+        p0s.append(v0)
+        e1s.append(v1 - v0)
+        e2s.append(v2 - v0)
+        n0s.append(nrm[f[:, 0]])
+        n1s.append(nrm[f[:, 1]])
+        n2s.append(nrm[f[:, 2]])
+        flg = 0
+        if uv is not None:
+            uv0s.append(uv[f[:, 0]]); uv1s.append(uv[f[:, 1]]); uv2s.append(uv[f[:, 2]])
+            flg |= 1
+        else:
+            z = np.zeros((nf, 2), _f32)
+            uv0s.append(z); uv1s.append(z); uv2s.append(z)
+        if tan is not None:
+            t0s.append(tan[f[:, 0]]); t1s.append(tan[f[:, 1]]); t2s.append(tan[f[:, 2]])
+            flg |= 2
+        else:
+            z3 = np.zeros((nf, 3), _f32)
+            t0s.append(z3); t1s.append(z3); t2s.append(z3)
+        mats.append(np.full((nf,), mat_id, _i32))
+        anims_idx.append(np.full((nf,), anim_id, _i32))
+        flags_list.append(np.full((nf,), flg, _i32))
+        if hot:
+            light_prims.extend(range(tri_count, tri_count + nf))
+        tri_count += nf
+
+    for inst, hot in scene._instances:
+        add_instance(inst, hot)
+
+    if tri_count:
+        tris = Triangles(
+            p0=jnp.asarray(np.concatenate(p0s).astype(_f32)),
+            e1=jnp.asarray(np.concatenate(e1s).astype(_f32)),
+            e2=jnp.asarray(np.concatenate(e2s).astype(_f32)),
+            n0=jnp.asarray(np.concatenate(n0s).astype(_f32)),
+            n1=jnp.asarray(np.concatenate(n1s).astype(_f32)),
+            n2=jnp.asarray(np.concatenate(n2s).astype(_f32)),
+            uv0=jnp.asarray(np.concatenate(uv0s).astype(_f32)),
+            uv1=jnp.asarray(np.concatenate(uv1s).astype(_f32)),
+            uv2=jnp.asarray(np.concatenate(uv2s).astype(_f32)),
+            tan0=jnp.asarray(np.concatenate(t0s).astype(_f32)),
+            tan1=jnp.asarray(np.concatenate(t1s).astype(_f32)),
+            tan2=jnp.asarray(np.concatenate(t2s).astype(_f32)),
+            mat=jnp.asarray(np.concatenate(mats)),
+            anim=jnp.asarray(np.concatenate(anims_idx)),
+            flags=jnp.asarray(np.concatenate(flags_list)),
+        )
+    else:
+        z3 = jnp.zeros((0, 3), jnp.float32)
+        z2 = jnp.zeros((0, 2), jnp.float32)
+        zi = jnp.zeros((0,), jnp.int32)
+        tris = Triangles(z3, z3, z3, z3, z3, z3, z2, z2, z2, z3, z3, z3, zi, zi, zi)
+
+    # --- spheres -----------------------------------------------------------
+    sc, sr, sm, sa = [], [], [], []
+    for sph, hot in scene._spheres:
+        mat_id = scene._resolve_material(sph.material)
+        center = np.asarray(sph.center, _f32)
+        radius = float(sph.radius)
+        if sph.transformation is not None and (sph.animation or 0) == 0:
+            tf = sph.transformation
+            center = center * np.asarray(tf.scale, _f32)
+            # rotate center
+            q = np.asarray(tf.rotation, _f32)
+            u, w = q[:3], q[3]
+            tq = 2.0 * np.cross(u, center)
+            center = center + w * tq + np.cross(u, tq) + np.asarray(tf.translation, _f32)
+            radius *= float(np.mean(np.asarray(tf.scale)))
+        if hot:
+            light_prims.append(tri_count + len(sc))
+        sc.append(center)
+        sr.append(radius)
+        sm.append(mat_id)
+        sa.append(sph.animation if sph.animation is not None else 0)
+    spheres = Spheres(
+        center=jnp.asarray(np.asarray(sc, _f32).reshape(-1, 3)),
+        radius=jnp.asarray(np.asarray(sr, _f32)),
+        mat=jnp.asarray(np.asarray(sm, _i32)),
+        anim=jnp.asarray(np.asarray(sa, _i32)),
+    )
+
+    # --- media -------------------------------------------------------------
+    n_prims = tri_count + spheres.count
+    prim_density = np.zeros((max(n_prims, 1),), _f32)[:n_prims]
+
+    anims = _flatten_animations(scene._animations)
+    textures = collector.build()
+
+    # --- envmap ------------------------------------------------------------
+    from ..render.envmap import build_envmap_arrays
+
+    envmap = build_envmap_arrays(scene._envmap)
+
+    return SceneArrays(
+        tris=tris,
+        spheres=spheres,
+        materials=materials,
+        textures=textures,
+        anims=anims,
+        bvh=None,
+        envmap=envmap,
+        light_prims=jnp.asarray(np.asarray(sorted(set(light_prims)), _i32)),
+        prim_medium_density=jnp.asarray(prim_density),
+    )

@@ -1,0 +1,251 @@
+"""Scene intermediate representation: structure-of-arrays pytrees.
+
+The reference scene is a pointer graph of virtual ``Hitable``/``Material``/``Texture``
+objects (``libwurblpt/scene.hpp:55-241``). That design cannot run on a TPU. Here the
+scene is *data*: flat SoA jnp arrays bundled in NamedTuple pytrees that are traced
+through jit and shard_map, replicated in HBM on every chip (SURVEY.md section 2.2
+"scene replication"). Virtual dispatch becomes integer type codes + masked
+evaluation; per-object pointers become integer indices.
+
+Channel convention: radiance/attenuation/refractive-index are 4-vectors
+(RGB + NIR) exactly like the reference's vec4 pipeline (``ray.hpp:36-57``); the NIR
+channel drives the AMCW Time-of-Flight sensor.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+
+# Material type codes (replaces virtual Material* dispatch, material.hpp:129-271).
+class MaterialType:
+    NONE = 0
+    LAMBERTIAN = 1       # material_lambertian.hpp
+    GGX = 2              # material_ggx.hpp (anisotropic, VNDF-sampled)
+    GLASS = 3            # material_glass.hpp (dielectric + dispersion)
+    MIRROR = 4           # material_mirror.hpp
+    MODPHONG = 5         # material_modphong.hpp
+    PHASE_ISO = 6        # material_phase_function_isotropic.hpp
+    LIGHT_DIFFUSE = 7    # light_diffuse.hpp
+    LIGHT_SPOT = 8       # light_spot.hpp
+    LIGHT_TOF = 9        # light_tof.hpp
+    RGL = 10             # material_rgl.hpp (measured BRDF tables)
+    COUNT = 11
+
+
+# Material flag bits.
+class MaterialFlags:
+    TWO_SIDED = 1 << 0       # MaterialTwoSided wrapper semantics (material.hpp:273-334)
+    TOF_LIGHT = 1 << 1       # isTofLight() (material.hpp:188-191)
+
+
+# Texture type codes (texture.hpp built-ins + texture_image/noise).
+class TextureType:
+    CONSTANT = 0
+    CHECKER = 1
+    IMAGE = 2
+    VALUE_NOISE = 3
+    GRADIENT_NOISE = 4
+    WORLEY_NOISE = 5
+    PERLIN_NOISE = 6
+
+
+class Triangles(NamedTuple):
+    """One record per triangle; object-space geometry + per-instance indices.
+
+    Replaces HitableTriangle's 16 template instantiations + pointer packing
+    (``hitable_triangle.hpp:37-143``) with dense arrays; absence of texcoords or
+    tangents is encoded as zeros + flags rather than template parameters.
+    """
+
+    p0: jnp.ndarray        # [T, 3] vertex 0 position
+    e1: jnp.ndarray        # [T, 3] v1 - v0
+    e2: jnp.ndarray        # [T, 3] v2 - v0
+    n0: jnp.ndarray        # [T, 3] shading normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray       # [T, 2]
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    tan0: jnp.ndarray      # [T, 3] shading tangents (zeros if absent)
+    tan1: jnp.ndarray
+    tan2: jnp.ndarray
+    mat: jnp.ndarray       # [T] int32 material index
+    anim: jnp.ndarray      # [T] int32 animation index (0 = static identity)
+    flags: jnp.ndarray     # [T] int32: bit0 has_texcoords, bit1 has_tangents
+
+    @property
+    def count(self):
+        return self.p0.shape[0]
+
+
+class Spheres(NamedTuple):
+    """Analytic spheres (``hitable_sphere.hpp:34-220``). Object space: the sphere
+    sits at `center` with `radius`; its animation transform moves/rotates it."""
+
+    center: jnp.ndarray    # [S, 3]
+    radius: jnp.ndarray    # [S]
+    mat: jnp.ndarray       # [S] int32
+    anim: jnp.ndarray      # [S] int32
+
+    @property
+    def count(self):
+        return self.center.shape[0]
+
+
+class MaterialTable(NamedTuple):
+    """SoA material parameter table; `typ` selects the BSDF model per lane.
+
+    Packing of the generic parameter slots p0/p1 by type:
+      GGX:          p0.xy = roughness (anisotropic)
+      GLASS:        p0 = per-channel refractive index (RGB+NIR), p1 = absorption
+      MODPHONG:     p0.x = shininess, p0.y = opacity, p0.z = spec probability,
+                    p1 = specular color (RGB+NIR)
+      LIGHT_SPOT:   p0.x = cos(half opening angle)
+      LIGHT_TOF:    p0.x = cos(half opening angle); emissive.w = NIR radiance
+      PHASE_ISO:    albedo = single-scattering albedo
+    """
+
+    typ: jnp.ndarray          # [M] int32 MaterialType
+    flags: jnp.ndarray        # [M] int32 MaterialFlags
+    albedo: jnp.ndarray       # [M, 4] RGB+NIR base color / F0
+    albedo_tex: jnp.ndarray   # [M] int32 texture id (-1 = use albedo constant)
+    emissive: jnp.ndarray     # [M, 4]
+    emissive_tex: jnp.ndarray # [M] int32
+    p0: jnp.ndarray           # [M, 4]
+    p1: jnp.ndarray           # [M, 4]
+    normal_tex: jnp.ndarray   # [M] int32 (-1 = no normal map)
+    rgl_id: jnp.ndarray       # [M] int32 index into RGL table stack (-1 = none)
+
+    @property
+    def count(self):
+        return self.typ.shape[0]
+
+
+class TextureTable(NamedTuple):
+    """Flattened texture descriptors + one padded image stack.
+
+    TextureTransformer nesting (``texture.hpp:207-246``) is flattened at build
+    time into per-texture uv/value affine transforms. Image texels live in a
+    single padded stack `img_data`; bilinear filtering + wrap happens at sample
+    time (semantics of ``texture_image.hpp:182-212``).
+    """
+
+    typ: jnp.ndarray          # [NT] int32 TextureType
+    params: jnp.ndarray       # [NT, 8] f32: CONSTANT: [0:4]=color;
+                              #   CHECKER: [0:4]=color1,[4:8]=color2 (uses uv_scale for frequency)
+                              #   NOISE types: [0]=octaves/cells, [1]=gain... (see texture code)
+    uv_scale: jnp.ndarray     # [NT, 2]
+    uv_offset: jnp.ndarray    # [NT, 2]
+    val_scale: jnp.ndarray    # [NT, 4]
+    val_offset: jnp.ndarray   # [NT, 4]
+    image_id: jnp.ndarray     # [NT] int32 into image stack (-1 = none)
+    img_data: jnp.ndarray     # [NI, H, W, 4] float16 linear texels (padded stack)
+    img_hw: jnp.ndarray       # [NI, 2] int32 actual (h, w)
+
+    @property
+    def count(self):
+        return self.typ.shape[0]
+
+
+class AnimTable(NamedTuple):
+    """Keyframed TRS animation tables (``animation_keyframes.hpp:51-216``).
+
+    Row 0 is always the static identity animation. Keyframe arrays are padded to
+    the max keyframe count; `times` padding is +inf so searchsorted lands inside
+    the valid range.
+    """
+
+    times: jnp.ndarray   # [A, K] f32, sorted, padded +inf
+    trans: jnp.ndarray   # [A, K, 3]
+    rot: jnp.ndarray     # [A, K, 4] quaternions
+    scale: jnp.ndarray   # [A, K, 3]
+    nkeys: jnp.ndarray   # [A] int32
+
+    @property
+    def count(self):
+        return self.times.shape[0]
+
+
+class BVHArrays(NamedTuple):
+    """Flattened threaded BVH (hit-link / miss-link), SoA.
+
+    The reference flattens its SAH tree into 32-byte nodes traversed with an
+    explicit stack (``bvh.hpp:217-311``). For SIMD wavefront traversal we instead
+    thread the tree: every node knows where to go on AABB-hit (`hit_next`:
+    first child for inner nodes, own miss link for leaves after intersecting
+    primitives) and on miss (`miss_next`). Traversal is then a branch-free
+    while-loop without any per-ray stack.
+    """
+
+    node_min: jnp.ndarray     # [N, 3]
+    node_max: jnp.ndarray     # [N, 3]
+    prim_start: jnp.ndarray   # [N] int32 (leaf: first index into prim_order; inner: -1)
+    prim_count: jnp.ndarray   # [N] int32 (0 for inner nodes)
+    miss_next: jnp.ndarray    # [N] int32 (-1 = done)
+    prim_order: jnp.ndarray   # [P] int32 global prim ids in leaf order
+
+
+class EnvMapArrays(NamedTuple):
+    """Environment map raster + importance/alias tables (``envmap.hpp:44-286``).
+
+    `kind`: 0 none, 1 equirect, 2 cube, 3 constant. The importance table lives on
+    the parameterization-independent equal-area square map (envmap.hpp:53-109);
+    sampling uses an O(1) alias table instead of the reference's binary search.
+    """
+
+    kind: jnp.ndarray          # [] int32
+    const_radiance: jnp.ndarray  # [4]
+    image: jnp.ndarray         # equirect: [H, W, 4]; cube: [6, H, W, 4]; else [1,1,4]
+    # Importance sampling tables over an R x R equal-area grid:
+    pdf_table: jnp.ndarray     # [R, R] f32 (solid-angle pdf per cell; 0-size if no IS)
+    alias_prob: jnp.ndarray    # [R*R] f32 alias table acceptance prob
+    alias_idx: jnp.ndarray     # [R*R] int32 alias partner
+    rotation: jnp.ndarray      # [4] quaternion world-from-map
+
+
+class SceneArrays(NamedTuple):
+    """The complete device-side scene: everything the render kernels read.
+
+    Replicated per chip; only rays/pixels are sharded (SURVEY.md section 2.2).
+    """
+
+    tris: Triangles
+    spheres: Spheres
+    materials: MaterialTable
+    textures: TextureTable
+    anims: AnimTable
+    bvh: Optional[BVHArrays]
+    envmap: EnvMapArrays
+    # Hot spots (NEE light list): global prim ids; tri i -> id i, sphere j -> T + j.
+    light_prims: jnp.ndarray   # [L] int32
+    # Media (homogeneous participating media bound to sphere/mesh boundaries) are
+    # represented as materials with MaterialType.PHASE_ISO on a boundary prim plus
+    # per-prim density; see scene/medium fields below.
+    prim_medium_density: jnp.ndarray  # [T + S] f32; 0 = not a medium boundary
+
+    @property
+    def n_tris(self):
+        return self.tris.count
+
+    @property
+    def n_spheres(self):
+        return self.spheres.count
+
+    @property
+    def n_lights(self):
+        return self.light_prims.shape[0]
+
+
+def empty_envmap() -> EnvMapArrays:
+    return EnvMapArrays(
+        kind=jnp.int32(0),
+        const_radiance=jnp.zeros((4,), jnp.float32),
+        image=jnp.zeros((1, 1, 4), jnp.float32),
+        pdf_table=jnp.zeros((0, 0), jnp.float32),
+        alias_prob=jnp.zeros((0,), jnp.float32),
+        alias_idx=jnp.zeros((0,), jnp.int32),
+        rotation=jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+    )
