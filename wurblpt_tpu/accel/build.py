@@ -1,0 +1,228 @@
+"""BVH construction: primitive AABBs -> threaded flat tree (BVHArrays).
+
+The reference builds a full-sweep SAH tree and flattens it to 32-byte nodes
+traversed with an explicit 128-deep stack (``libwurblpt/bvh.hpp:93-246,
+277-311``). The TPU design replaces the stack with *threading*: nodes are laid
+out in DFS pre-order, advancing to ``node + 1`` on an AABB hit and to
+``miss_next[node]`` otherwise, so a whole ray batch walks the tree in lockstep
+with no per-ray stack (SURVEY.md section 1 "TPU mapping").
+
+The builder itself is host-side native C++ (``native/src/bvh_builder.cpp``,
+binned SAH) with a numpy fallback; both produce identical array layouts.
+Leaves occupy exactly LEAF_SIZE slots in ``prim_order`` (padded with -1) so the
+device traversal intersects a static-shape primitive tile per leaf step.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..scene.ir import BVHArrays
+
+LEAF_SIZE = 4
+
+
+# ---------------------------------------------------------------------------
+# Primitive AABBs
+# ---------------------------------------------------------------------------
+
+def prim_aabbs(tris_np, spheres_np):
+    """AABBs + centroids for the global prim ordering (tris then spheres).
+
+    tris_np: (p0, e1, e2) numpy [T,3] each; spheres_np: (center, radius).
+    """
+    mins, maxs, cents = [], [], []
+    p0, e1, e2 = tris_np
+    if p0.shape[0]:
+        v1 = p0 + e1
+        v2 = p0 + e2
+        tmin = np.minimum(np.minimum(p0, v1), v2)
+        tmax = np.maximum(np.maximum(p0, v1), v2)
+        mins.append(tmin)
+        maxs.append(tmax)
+        cents.append((tmin + tmax) * 0.5)
+    center, radius = spheres_np
+    if center.shape[0]:
+        r = radius[:, None]
+        mins.append(center - r)
+        maxs.append(center + r)
+        cents.append(center)
+    if not mins:
+        z = np.zeros((0, 3), np.float32)
+        return z, z, z
+    return (
+        np.concatenate(mins).astype(np.float32),
+        np.concatenate(maxs).astype(np.float32),
+        np.concatenate(cents).astype(np.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native builder (ctypes)
+# ---------------------------------------------------------------------------
+
+def _native_lib():
+    from ..native import try_load_library
+
+    lib = try_load_library("wurblpt_bvh", ["bvh_builder.cpp"])
+    if lib is None:
+        return None
+    fn = lib.wurblpt_build_bvh
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    return fn
+
+
+def _build_native(amin, amax, cent, leaf_size):
+    fn = _native_lib()
+    if fn is None:
+        return None
+    n = amin.shape[0]
+    cap = 2 * n + 2
+    node_min = np.empty((cap, 3), np.float32)
+    node_max = np.empty((cap, 3), np.float32)
+    prim_start = np.empty((cap,), np.int32)
+    prim_count = np.empty((cap,), np.int32)
+    miss_next = np.empty((cap,), np.int32)
+    prim_order = np.empty((n * leaf_size + leaf_size,), np.int32)
+    order_len = ctypes.c_int(0)
+
+    def p(arr, typ):
+        return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+    amin = np.ascontiguousarray(amin, np.float32)
+    amax = np.ascontiguousarray(amax, np.float32)
+    cent = np.ascontiguousarray(cent, np.float32)
+    n_nodes = fn(
+        p(amin, ctypes.c_float), p(amax, ctypes.c_float), p(cent, ctypes.c_float),
+        n, leaf_size,
+        p(node_min, ctypes.c_float), p(node_max, ctypes.c_float),
+        p(prim_start, ctypes.c_int), p(prim_count, ctypes.c_int),
+        p(miss_next, ctypes.c_int), p(prim_order, ctypes.c_int),
+        ctypes.byref(order_len),
+    )
+    if n_nodes <= 0:
+        return None
+    return (
+        node_min[:n_nodes], node_max[:n_nodes], prim_start[:n_nodes],
+        prim_count[:n_nodes], miss_next[:n_nodes], prim_order[: order_len.value],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Numpy fallback builder (same layout, median/binned-SAH hybrid)
+# ---------------------------------------------------------------------------
+
+def _build_numpy(amin, amax, cent, leaf_size):
+    n = amin.shape[0]
+    node_min, node_max = [], []
+    prim_start, prim_count, right_child = [], [], []
+    order = []
+
+    def half_area(mn, mx):
+        d = np.maximum(mx - mn, 0.0)
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+    # (begin, end, parent_slot); pre-order emission like the native builder.
+    stack = [(np.arange(n), -1)]
+    while stack:
+        idx, parent_slot = stack.pop()
+        self_i = len(node_min)
+        if parent_slot >= 0:
+            right_child[parent_slot] = self_i
+        bmin = amin[idx].min(0)
+        bmax = amax[idx].max(0)
+        node_min.append(bmin)
+        node_max.append(bmax)
+        right_child.append(-1)
+        if idx.size <= leaf_size:
+            prim_start.append(len(order))
+            prim_count.append(idx.size)
+            order.extend(idx.tolist())
+            order.extend([-1] * (leaf_size - idx.size))
+            continue
+        prim_start.append(-1)
+        prim_count.append(0)
+        c = cent[idx]
+        ext = c.max(0) - c.min(0)
+        axis = int(np.argmax(ext))
+        if ext[axis] <= 1e-12:
+            half = idx.size // 2
+            part = np.argsort(c[:, axis], kind="stable")
+            left, right = idx[part[:half]], idx[part[half:]]
+        else:
+            nb = 16
+            bins = np.clip(
+                ((c[:, axis] - c[:, axis].min()) / ext[axis] * nb).astype(np.int32),
+                0, nb - 1,
+            )
+            best_cost, best_b = np.inf, -1
+            for b in range(nb - 1):
+                lm = bins <= b
+                nl = int(lm.sum())
+                if nl == 0 or nl == idx.size:
+                    continue
+                cost = half_area(amin[idx[lm]].min(0), amax[idx[lm]].max(0)) * nl + \
+                    half_area(amin[idx[~lm]].min(0), amax[idx[~lm]].max(0)) * (idx.size - nl)
+                if cost < best_cost:
+                    best_cost, best_b = cost, b
+            if best_b < 0:
+                half = idx.size // 2
+                part = np.argsort(c[:, axis], kind="stable")
+                left, right = idx[part[:half]], idx[part[half:]]
+            else:
+                lm = bins <= best_b
+                left, right = idx[lm], idx[~lm]
+        stack.append((right, self_i))
+        stack.append((left, -1))
+
+    n_nodes = len(node_min)
+    # Thread miss links over the pre-order layout.
+    miss = np.full((n_nodes,), -1, np.int32)
+    tstack = [(0, -1)]
+    rc = np.asarray(right_child, np.int32)
+    pc = np.asarray(prim_count, np.int32)
+    while tstack:
+        ni, m = tstack.pop()
+        miss[ni] = m
+        if pc[ni] == 0:
+            tstack.append((rc[ni], m))
+            tstack.append((ni + 1, rc[ni]))
+    return (
+        np.asarray(node_min, np.float32), np.asarray(node_max, np.float32),
+        np.asarray(prim_start, np.int32), pc, miss,
+        np.asarray(order, np.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+def build_bvh_arrays(tris_np, spheres_np, leaf_size: int = LEAF_SIZE) -> BVHArrays:
+    """Build BVHArrays from numpy geometry (see prim_aabbs for inputs)."""
+    amin, amax, cent = prim_aabbs(tris_np, spheres_np)
+    if amin.shape[0] == 0:
+        raise ValueError("cannot build a BVH over an empty scene")
+    built = _build_native(amin, amax, cent, leaf_size)
+    if built is None:
+        built = _build_numpy(amin, amax, cent, leaf_size)
+    node_min, node_max, prim_start, prim_count, miss_next, prim_order = built
+    return BVHArrays(
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        prim_start=jnp.asarray(prim_start),
+        prim_count=jnp.asarray(prim_count),
+        miss_next=jnp.asarray(miss_next),
+        prim_order=jnp.asarray(prim_order),
+    )

@@ -335,7 +335,11 @@ class Scene:
             return self._material_names[m]
         return self.take_material(m)
 
-    def build(self, max_image_dim: int = 2048) -> SceneArrays:
+    def build(self, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays:
+        """Flatten to SceneArrays. `use_bvh`: None = auto (prim-count
+        threshold), True/False = force; the BVH is the threaded SAH tree of
+        :mod:`wurblpt_tpu.accel` (reference ``Scene::updateBVH``,
+        scene.hpp:151-169)."""
         from .flatten import flatten_scene
 
-        return flatten_scene(self, max_image_dim=max_image_dim)
+        return flatten_scene(self, max_image_dim=max_image_dim, use_bvh=use_bvh)

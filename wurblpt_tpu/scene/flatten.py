@@ -290,7 +290,7 @@ def _bake_transform(tf: Optional[Transformation], pos, nrm, tan):
     return pos, nrm, tan
 
 
-def flatten_scene(scene, max_image_dim: int = 2048) -> SceneArrays:
+def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays:
     collector = _TextureCollector()
 
     rgl_names = {name: i for i, name in enumerate(scene._rgl_tables)}
@@ -412,6 +412,27 @@ def flatten_scene(scene, max_image_dim: int = 2048) -> SceneArrays:
     anims = _flatten_animations(scene._animations)
     textures = collector.build()
 
+    # --- BVH (auto beyond the brute-force sweet spot) ------------------------
+    # Small scenes are faster as one dense primitive tile (no gathers); big
+    # scenes need the threaded SAH tree (accel/build.py). Threshold measured on
+    # TPU v5e, see accel/traverse.py.
+    if use_bvh is None:
+        use_bvh = n_prims >= 512
+    bvh = None
+    if use_bvh and n_prims > 0:
+        from ..accel.build import build_bvh_arrays
+
+        tri_np = (
+            np.concatenate(p0s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
+            np.concatenate(e1s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
+            np.concatenate(e2s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
+        )
+        sph_np = (
+            np.asarray(sc, _f32).reshape(-1, 3),
+            np.asarray(sr, _f32).reshape(-1),
+        )
+        bvh = build_bvh_arrays(tri_np, sph_np)
+
     # --- envmap ------------------------------------------------------------
     from ..render.envmap import build_envmap_arrays
 
@@ -423,7 +444,7 @@ def flatten_scene(scene, max_image_dim: int = 2048) -> SceneArrays:
         materials=materials,
         textures=textures,
         anims=anims,
-        bvh=None,
+        bvh=bvh,
         envmap=envmap,
         light_prims=jnp.asarray(np.asarray(sorted(set(light_prims)), _i32)),
         prim_medium_density=jnp.asarray(prim_density),
