@@ -67,6 +67,7 @@ class SceneStatic(NamedTuple):
     env_kind: int
     env_importance: bool
     has_media: bool
+    has_normal_maps: bool = False
 
     @staticmethod
     def from_scene(scene: SceneArrays) -> "SceneStatic":
@@ -80,7 +81,38 @@ class SceneStatic(NamedTuple):
             env_kind=int(scene.envmap.kind),
             env_importance=scene.envmap.alias_prob.shape[0] > 0,
             has_media=bool(np.any(np.asarray(scene.prim_medium_density) > 0.0)),
+            has_normal_maps=bool(np.any(np.asarray(scene.materials.normal_tex) >= 0)),
         )
+
+
+def apply_normal_map(scene: SceneArrays, static: SceneStatic, hr: HitRecord) -> HitRecord:
+    """Perturb the shading normal by the material's normal map.
+
+    Reference ``Material::normalAt``/``tangentSpaceAt`` (material.hpp:195-228):
+    texel -> nt = normalize(2*t - 1), transformed to world by the interpolated
+    (tangent, bitangent, normal) frame; the tangent is re-orthogonalized
+    against the mapped normal. No-op (and compiled out) without normal maps.
+    """
+    if not static.has_normal_maps:
+        return hr
+    from .texture import sample_texture
+
+    ntex = scene.materials.normal_tex[hr.mat]
+    has_nm = (ntex >= 0) & hr.hit
+    tex_n = sample_texture(scene.textures, jnp.maximum(ntex, 0), hr.uv)[..., :3]
+    nt = normalize(tex_n * 2.0 - 1.0)
+    t, b = onb_from_normal_tangent(hr.normal, hr.tangent)
+    mapped = normalize(to_world(nt, t, b, hr.normal))
+    new_n = jnp.where(has_nm[..., None], mapped, hr.normal)
+    # Gram-Schmidt the tangent against the perturbed normal.
+    tan = hr.tangent - dot(hr.tangent, new_n, keepdims=True) * new_n
+    tlen = jnp.sqrt(jnp.maximum(dot(tan, tan), 0.0))
+    new_t = jnp.where(
+        (has_nm & (tlen > 1e-8))[..., None],
+        tan / jnp.maximum(tlen, 1e-20)[..., None],
+        hr.tangent,
+    )
+    return hr._replace(normal=new_n, tangent=new_t)
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,14 @@ from ..core.rng import Salt, uniform1, uniform2, uniform4
 from ..core.sampler import power_heuristic
 from ..core.vecmath import dot
 from ..scene.ir import SceneArrays
-from .bsdf import ScatterKind, SceneStatic, bsdf_eval, bsdf_sample, emitted
+from .bsdf import (
+    ScatterKind,
+    SceneStatic,
+    apply_normal_map,
+    bsdf_eval,
+    bsdf_sample,
+    emitted,
+)
 from .camera import CameraConfig, CameraParams, camera_rays
 from .envmap import env_has_importance, env_pdf, env_radiance, env_sample
 from .intersect import BIG, assemble_hit, scene_raw_hit
@@ -185,6 +192,9 @@ def trace_paths(
             acc = sensor.accumulate(acc, ev)
 
         hr = assemble_hit(scene, st.o, st.d, t, prim, u, v)
+        # Normal mapping (material.hpp:195-228): perturb the shading frame
+        # before any scatter/eval; compiled out when no normal maps exist.
+        hr = apply_normal_map(scene, static, hr)
 
         # ---- 3. path lengths (wurblpt.hpp:148-150) ------------------------
         geom_len = jnp.where(hit, st.geom_len + t, st.geom_len)

@@ -17,7 +17,7 @@ from ..scene.ir import TextureTable, TextureType
 
 
 def _hash01(ix, iy, seed):
-    v0, _, _, _ = hash4(ix, iy, seed, 0x9E3779B9)
+    v0, _, _, _ = hash4(ix, iy, seed, jnp.uint32(0x9E3779B9))
     return (v0 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
 
 

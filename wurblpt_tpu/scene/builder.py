@@ -333,7 +333,15 @@ class Scene:
             return m
         if isinstance(m, str):
             return self._material_names[m]
-        return self.take_material(m)
+        # Inline Material object: register on first resolve, reuse after
+        # (resolution must be idempotent — flatten resolves twice).
+        key = id(m)
+        cache = getattr(self, "_inline_material_ids", None)
+        if cache is None:
+            cache = self._inline_material_ids = {}
+        if key not in cache:
+            cache[key] = self.take_material(m)
+        return cache[key]
 
     def build(self, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays:
         """Flatten to SceneArrays. `use_bvh`: None = auto (prim-count

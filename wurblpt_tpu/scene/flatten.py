@@ -294,6 +294,13 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays
     collector = _TextureCollector()
 
     rgl_names = {name: i for i, name in enumerate(scene._rgl_tables)}
+    # Pre-resolve materials attached inline to instances/spheres so they are
+    # registered in scene._materials BEFORE the table is flattened (inline
+    # Material objects are take()n on first resolve).
+    for inst, _hot in scene._instances:
+        scene._resolve_material(inst.material)
+    for sph, _hot in scene._spheres:
+        scene._resolve_material(sph.material)
     materials = _flatten_materials(scene._materials, collector, rgl_names)
 
     # --- triangles ---------------------------------------------------------
