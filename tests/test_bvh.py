@@ -57,8 +57,9 @@ def _scene_with(p0, e1, e2, sc, sr, bvh):
     an = AnimTable(jnp.zeros((1, 1)), jnp.zeros((1, 1, 3)),
                    jnp.array([[[0.0, 0.0, 0.0, 1.0]]]), jnp.ones((1, 1, 3)),
                    jnp.ones((1,), jnp.int32))
+    from wurblpt_tpu.scene.ir import empty_media
     return SceneArrays(tris, sph, mt, tt, an, bvh, empty_envmap(),
-                       jnp.zeros((0,), jnp.int32), jnp.zeros((T + S,)))
+                       jnp.zeros((0,), jnp.int32), empty_media())
 
 
 def _rays(seed, n):

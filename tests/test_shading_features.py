@@ -80,3 +80,93 @@ def test_normal_map_tilts_normal():
     assert abs(abs(n[0]) - np.sin(0.4)) < 1e-3
     # Tangent re-orthogonalized.
     assert abs(np.dot(np.asarray(hr2.tangent)[0], n)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Participating media (hitable_medium.hpp:38-99)
+# ---------------------------------------------------------------------------
+
+def _medium_scene(density=1.0, radius=1.0):
+    from wurblpt_tpu.scene.builder import MediumObject, PhaseIso, SphereObject
+
+    sc = Scene()
+    sc.take_medium(
+        MediumObject(
+            boundary=SphereObject(center=(0, 0, 0), radius=radius,
+                                  material=PhaseIso()),
+            density=density,
+            phase=PhaseIso(albedo=(1.0, 1.0, 1.0)),
+        )
+    )
+    # A backdrop so the scene has at least one solid prim.
+    wall = transform_mesh(generate_quad(10.0, 10.0), translate=(0, 0, -5))
+    sc.take_mesh_instance(MeshInstance(mesh=wall, material=Lambertian()))
+    return sc.build()
+
+
+def test_medium_free_path_transmittance():
+    """Rays through a sphere medium of density rho, chord 2r, scatter with
+    probability 1 - exp(-2*r*rho); scatter points lie inside the boundary."""
+    from wurblpt_tpu.render.media import apply_media
+
+    rho, r = 0.7, 1.0
+    scene = _medium_scene(density=rho, radius=r)
+    static = SceneStatic.from_scene(scene)
+    assert static.has_media
+    n = 8192
+    o = jnp.tile(jnp.array([[0.0, 0.0, 3.0]]), (n, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1))
+    t_min = jnp.full((n,), 1e-4)
+    # Solid hit = backdrop at t = 8.
+    t_s = jnp.full((n,), 8.0)
+    prim_s = jnp.zeros((n,), jnp.int32)
+    pid = jnp.arange(n, dtype=jnp.int32)
+    sid = jnp.zeros((n,), jnp.int32)
+    t, prim, _, _, mmask, mmat = apply_media(
+        scene, o, d, t_min, t_s, prim_s, jnp.zeros((n,)), jnp.zeros((n,)),
+        pid, sid, jnp.int32(0), 0
+    )
+    frac = float(jnp.mean(mmask))
+    expect = 1.0 - np.exp(-2.0 * r * rho)
+    assert abs(frac - expect) < 0.02, (frac, expect)
+    # Scatter points inside the sphere: entry t=2, exit t=4.
+    ts = np.asarray(t)[np.asarray(mmask)]
+    assert ts.min() >= 2.0 - 1e-3 and ts.max() <= 4.0 + 1e-3
+    # Phase material id patched in.
+    assert np.all(np.asarray(mmat)[np.asarray(mmask)] >= 0)
+
+
+def test_medium_render_smoke():
+    """End-to-end render with a medium: finite image, medium dims the
+    background where the sphere covers it."""
+    from wurblpt_tpu.render.integrator import render_frame
+    from wurblpt_tpu.scene.builder import EnvironmentMapConstant
+
+    scene_b = _medium_scene(density=2.0, radius=1.0)
+
+    from wurblpt_tpu.scene.builder import MediumObject, PhaseIso, SphereObject
+
+    sc = Scene()
+    sc.take_medium(
+        MediumObject(
+            boundary=SphereObject(center=(0, 0, 0), radius=1.0,
+                                  material=PhaseIso()),
+            density=3.0,
+            phase=PhaseIso(albedo=(0.2, 0.2, 0.2)),  # dark smoke
+        )
+    )
+    sc.set_environment_map(EnvironmentMapConstant(radiance=(1.0, 1.0, 1.0)))
+    scene = sc.build()
+    static = SceneStatic.from_scene(scene)
+    from wurblpt_tpu.core.transform import Transformation
+
+    cam = make_camera(
+        transformation=Transformation.make(translation=(0.0, 0.0, 4.0)),
+        vfov_deg=40.0, width=24, height=24,
+    )
+    img = render_frame(scene, static, cam, CameraConfig(), SensorRGB(),
+                       24, 24, 3, params=RenderParams(max_path_components=16))
+    a = np.asarray(img)
+    assert np.all(np.isfinite(a))
+    # Center pixel (through thick dark smoke) is darker than a corner (env).
+    assert a[12, 12, :3].mean() < 0.6 * a[0, 0, :3].mean()

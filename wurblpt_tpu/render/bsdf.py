@@ -80,7 +80,7 @@ class SceneStatic(NamedTuple):
             n_lights=int(scene.light_prims.shape[0]),
             env_kind=int(scene.envmap.kind),
             env_importance=scene.envmap.alias_prob.shape[0] > 0,
-            has_media=bool(np.any(np.asarray(scene.prim_medium_density) > 0.0)),
+            has_media=scene.media.count > 0,
             has_normal_maps=bool(np.any(np.asarray(scene.materials.normal_tex) >= 0)),
         )
 

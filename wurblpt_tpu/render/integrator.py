@@ -46,6 +46,7 @@ from .camera import CameraConfig, CameraParams, camera_rays
 from .envmap import env_has_importance, env_pdf, env_radiance, env_sample
 from .intersect import BIG, assemble_hit, scene_raw_hit
 from .lights import lights_pdf_sum, lights_sample
+from .media import apply_media
 from .sensor import SensorEvent
 from .texture import material_emissive
 
@@ -162,10 +163,26 @@ def trace_paths(
     def cond(st: _LoopState):
         return (st.bounce < params.max_path_components) & jnp.any(st.active)
 
+    def cast(o_, d_, tmin_, k, salt_ctx):
+        """Closest hit incl. stochastic medium scattering (media.py).
+
+        Returns (t, prim, u, v, med_mask, med_mat); medium-scatter lanes get
+        prim = n_solid + medium_id so blocker-identity checks treat them as
+        occluders (wurblpt.hpp:203-217 semantics with media in the BVH).
+        """
+        t, prim, uu, vv = scene_raw_hit(scene, o_, d_, tmin_, jnp.full((n,), BIG))
+        if static.has_media:
+            return apply_media(
+                scene, o_, d_, tmin_, t, prim, uu, vv,
+                pixel_id, sample_id, k, salt_ctx,
+            )
+        zb = jnp.zeros(t.shape, bool)
+        return t, prim, uu, vv, zb, jnp.zeros(t.shape, jnp.int32)
+
     def body(st: _LoopState) -> _LoopState:
         k = st.bounce
-        t, prim, u, v = scene_raw_hit(
-            scene, st.o, st.d, jnp.full((n,), params.min_hit_distance), jnp.full((n,), BIG)
+        t, prim, u, v, med_mask, med_mat = cast(
+            st.o, st.d, jnp.full((n,), params.min_hit_distance), k, 0
         )
         hit = (prim >= 0) & st.active
         miss = (~(prim >= 0)) & st.active
@@ -195,6 +212,17 @@ def trace_paths(
         # Normal mapping (material.hpp:195-228): perturb the shading frame
         # before any scatter/eval; compiled out when no normal maps exist.
         hr = apply_normal_map(scene, static, hr)
+        if static.has_media:
+            # Medium scatter lanes: phase-function material, arbitrary frame
+            # facing the ray (hitable_medium.hpp:94-97 sets an arbitrary normal).
+            mm = med_mask[..., None]
+            hr = hr._replace(
+                mat=jnp.where(med_mask, med_mat, hr.mat),
+                normal=jnp.where(mm, -st.d, hr.normal),
+                geom_normal=jnp.where(mm, -st.d, hr.geom_normal),
+                backside=jnp.where(med_mask, False, hr.backside),
+                uv=jnp.where(med_mask[..., None], 0.0, hr.uv),
+            )
 
         # ---- 3. path lengths (wurblpt.hpp:148-150) ------------------------
         geom_len = jnp.where(hit, st.geom_len + t, st.geom_len)
@@ -232,13 +260,10 @@ def trace_paths(
             ldir, lprim, ldist = lights_sample(scene, hr.position, u3)
             pdf_light = lights_pdf_sum(scene, hr.position, ldir)
             f_l, pdf_b = bsdf_eval(scene, static, hr, st.d, ldir)
-            # visibility + blocker identity check (wurblpt.hpp:203-217)
-            st_t, st_prim, _, _ = scene_raw_hit(
-                scene,
-                hr.position,
-                ldir,
-                jnp.full((n,), params.min_hit_distance),
-                jnp.full((n,), BIG),
+            # visibility + blocker identity check (wurblpt.hpp:203-217);
+            # media block shadow rays stochastically (salt_ctx=1).
+            st_t, st_prim, _, _, _, _ = cast(
+                hr.position, ldir, jnp.full((n,), params.min_hit_distance), k, 1
             )
             visible = st_prim == lprim
             Le = _light_emitted_at(
@@ -272,12 +297,8 @@ def trace_paths(
             ue = uniform4(pixel_id, sample_id, k, Salt.ENVMAP_SAMPLE)[..., :3]
             edir, epdf = env_sample(scene.envmap, ue)
             f_e, pdf_be = bsdf_eval(scene, static, hr, st.d, edir)
-            et, eprim, _, _ = scene_raw_hit(
-                scene,
-                hr.position,
-                edir,
-                jnp.full((n,), params.min_hit_distance),
-                jnp.full((n,), BIG),
+            et, eprim, _, _, _, _ = cast(
+                hr.position, edir, jnp.full((n,), params.min_hit_distance), k, 2
             )
             unoccluded = eprim < 0
             L_e = env_radiance(scene.envmap, edir)

@@ -56,10 +56,14 @@ def ray_tri_tile(o, d, p0, e1, e2, t_min, t_max):
     """Intersect rays [N,3] with a triangle tile [T,3].
 
     Returns (t [N,T], u [N,T], v [N,T], valid [N,T]).
+
+    o/d may be [N,3] (shared per ray) or [N,T,3] (per-lane object-space rays
+    for animated prims).
     """
-    # Broadcast [N,1,3] x [1,T,3]
-    o = o[:, None, :]
-    d = d[:, None, :]
+    if o.ndim == 2:
+        o = o[:, None, :]
+    if d.ndim == 2:
+        d = d[:, None, :]
     p0 = p0[None, :, :]
     e1 = e1[None, :, :]
     e2 = e2[None, :, :]
@@ -85,10 +89,10 @@ def ray_tri_tile(o, d, p0, e1, e2, t_min, t_max):
 def ray_sphere_tile(o, d, center, radius, t_min, t_max):
     """Numerically stable sphere quadratic (hitable_sphere.hpp:128-151).
 
-    Returns (t [N,S], valid [N,S]).
+    Returns (t [N,S], valid [N,S]). o/d may be [N,3] or [N,S,3] (animated).
     """
-    oc = o[:, None, :] - center[None, :, :]
-    dd = d[:, None, :]
+    oc = (o[:, None, :] if o.ndim == 2 else o) - center[None, :, :]
+    dd = d[:, None, :] if d.ndim == 2 else d
     a = jnp.sum(dd * dd, axis=-1)
     half_b = jnp.sum(oc * dd, axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
@@ -109,8 +113,13 @@ def ray_sphere_tile(o, d, center, radius, t_min, t_max):
 # Closest hit over the whole scene (tiled brute force)
 # ---------------------------------------------------------------------------
 
-def _closest_tris(o, d, tris: Triangles, t_min, t_max, best):
-    """Fold triangle tiles into the running best (t, prim, u, v)."""
+def _closest_tris(o, d, tris: Triangles, t_min, t_max, best, obj_rays=None):
+    """Fold triangle tiles into the running best (t, prim, u, v).
+
+    obj_rays: optional (o_a [N,A,3], d_a [N,A,3]) per-animation object-space
+    rays; animated tiles gather their lane's ray by the tri's anim id (the hit
+    parameter t is affine-invariant, see scene.animation.AnimCtx).
+    """
     n_tri = tris.count
     if n_tri == 0:
         return best
@@ -125,10 +134,17 @@ def _closest_tris(o, d, tris: Triangles, t_min, t_max, best):
     p0 = padded(tris.p0).reshape(n_tiles, TRI_TILE, 3)
     e1 = padded(tris.e1).reshape(n_tiles, TRI_TILE, 3)
     e2 = padded(tris.e2).reshape(n_tiles, TRI_TILE, 3)
+    aid = padded(tris.anim).reshape(n_tiles, TRI_TILE) if obj_rays is not None else None
 
     def body(i, best):
         bt, bp, bu, bv = best
-        t, u, v, valid = ray_tri_tile(o, d, p0[i], e1[i], e2[i], t_min, t_max)
+        if obj_rays is None:
+            o_i, d_i = o, d
+        else:
+            o_a, d_a = obj_rays
+            o_i = jnp.take_along_axis(o_a, aid[i][None, :, None], axis=1)
+            d_i = jnp.take_along_axis(d_a, aid[i][None, :, None], axis=1)
+        t, u, v, valid = ray_tri_tile(o_i, d_i, p0[i], e1[i], e2[i], t_min, t_max)
         tri_ids = i * TRI_TILE + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         valid &= tri_ids < n_tri
         t = jnp.where(valid, t, BIG)
@@ -148,11 +164,16 @@ def _closest_tris(o, d, tris: Triangles, t_min, t_max, best):
     return jax.lax.fori_loop(0, n_tiles, body, best)
 
 
-def _closest_spheres(o, d, scene: SceneArrays, t_min, t_max, best):
+def _closest_spheres(o, d, scene: SceneArrays, t_min, t_max, best, obj_rays=None):
     n_sph = scene.spheres.count
     if n_sph == 0:
         return best
     bt, bp, bu, bv = best
+    if obj_rays is not None:
+        o_a, d_a = obj_rays
+        aid = scene.spheres.anim
+        o = jnp.take_along_axis(o_a, aid[None, :, None], axis=1)
+        d = jnp.take_along_axis(d_a, aid[None, :, None], axis=1)
     t, valid = ray_sphere_tile(o, d, scene.spheres.center, scene.spheres.radius, t_min, t_max)
     t = jnp.where(valid, t, BIG)
     j = jnp.argmin(t, axis=1)

@@ -9,9 +9,11 @@ per ray time (motion blur gives every ray its own time anyway).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
-from ..core.transform import Transformation, quat_slerp
+from ..core.transform import Transformation, quat_slerp, quat_to_mat3
 from .ir import AnimTable
 
 
@@ -43,3 +45,50 @@ def eval_animation(anims: AnimTable, aid, t) -> Transformation:
         rotation=quat_slerp(ro0, ro1, alpha),
         scale=sc0 + (sc1 - sc0) * a,
     )
+
+
+class AnimCtx(NamedTuple):
+    """Per-ray inverse animation frames: the wavefront AnimationCache.
+
+    The reference transforms animated triangle VERTICES at ray time
+    (hitable_triangle.hpp ANIMATE path via AnimationCache,
+    animation.hpp:52-125). On TPU we instead transform the RAY into each
+    animation's object space once per cast — the hit parameter `t` is
+    affine-invariant, so world hit points come from the untransformed ray and
+    per-primitive work stays at two gathered mat-vecs.
+    """
+
+    r_inv: jnp.ndarray  # [N, A, 3, 3] diag(1/s) R^T
+    t_inv: jnp.ndarray  # [N, A, 3]    world translation (subtract pre-rotate)
+    time: jnp.ndarray   # [N]
+
+    def ray_to_object(self, o, d):
+        """World rays [N,3] -> object-space rays per animation [N,A,3]."""
+        oo = o[:, None, :] - self.t_inv
+        o_a = jnp.einsum("naij,naj->nai", self.r_inv, oo)
+        d_a = jnp.einsum("naij,nj->nai", self.r_inv, d)
+        return o_a, d_a
+
+
+def make_anim_ctx(anims: AnimTable, time) -> AnimCtx:
+    """Evaluate ALL animations at each ray's time (A is small; row 0 identity)."""
+    n = time.shape[0]
+    a = anims.count
+    aid = jnp.broadcast_to(jnp.arange(a, dtype=jnp.int32)[None, :], (n, a))
+    tf = eval_animation(anims, aid, time[:, None])
+    r3 = quat_to_mat3(tf.rotation)                      # [N,A,3,3], M = R diag(s)
+    r_inv = jnp.swapaxes(r3, -1, -2) / jnp.maximum(
+        tf.scale[..., :, None], 1e-20
+    )                                                   # diag(1/s) R^T
+    return AnimCtx(r_inv=r_inv, t_inv=tf.translation, time=time)
+
+
+def anim_forward_frames(anims: AnimTable, aid, time):
+    """Forward linear map M=R diag(s) and normal matrix R diag(1/s) for the
+    winning prims' animations ([N] aid at [N] time) — used by assemble_hit to
+    push object-space normals/tangents back to world."""
+    tf = eval_animation(anims, aid, time)
+    r3 = quat_to_mat3(tf.rotation)
+    m = r3 * tf.scale[..., None, :]
+    mn = r3 / jnp.maximum(tf.scale[..., None, :], 1e-20)
+    return m, mn, tf

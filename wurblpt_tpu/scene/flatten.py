@@ -22,6 +22,7 @@ from .ir import (
     MaterialFlags,
     MaterialTable,
     MaterialType,
+    MediumArrays,
     SceneArrays,
     Spheres,
     TextureTable,
@@ -301,6 +302,8 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays
         scene._resolve_material(inst.material)
     for sph, _hot in scene._spheres:
         scene._resolve_material(sph.material)
+    for med in scene._media:
+        scene._resolve_material(med.phase)
     materials = _flatten_materials(scene._materials, collector, rgl_names)
 
     # --- triangles ---------------------------------------------------------
@@ -412,9 +415,45 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays
         anim=jnp.asarray(np.asarray(sa, _i32)),
     )
 
-    # --- media -------------------------------------------------------------
+    # --- media (hitable_medium.hpp:38-99) ------------------------------------
     n_prims = tri_count + spheres.count
-    prim_density = np.zeros((max(n_prims, 1),), _f32)[:n_prims]
+    mt_p0, mt_e1, mt_e2, mt_id = [], [], [], []
+    ms_c, ms_r, ms_id = [], [], []
+    med_density, med_phase = [], []
+    for mi, med in enumerate(scene._media):
+        med_density.append(float(med.density))
+        med_phase.append(scene._resolve_material(med.phase))
+        b = med.boundary
+        if isinstance(b, B.SphereObject):
+            center = np.asarray(b.center, _f32)
+            radius = float(b.radius)
+            if b.transformation is not None:
+                tf = b.transformation
+                center = center + np.asarray(tf.translation, _f32)
+                radius *= float(np.max(np.asarray(tf.scale)))
+            ms_c.append(center)
+            ms_r.append(radius)
+            ms_id.append(mi)
+        else:
+            mesh = b.mesh
+            pos, _, _ = _bake_transform(b.transformation, mesh.positions, None, None)
+            f = mesh.indices
+            v0, v1, v2 = pos[f[:, 0]], pos[f[:, 1]], pos[f[:, 2]]
+            mt_p0.append(v0)
+            mt_e1.append(v1 - v0)
+            mt_e2.append(v2 - v0)
+            mt_id.append(np.full((len(f),), mi, _i32))
+    media = MediumArrays(
+        tri_p0=jnp.asarray(np.concatenate(mt_p0) if mt_p0 else np.zeros((0, 3), _f32)),
+        tri_e1=jnp.asarray(np.concatenate(mt_e1) if mt_e1 else np.zeros((0, 3), _f32)),
+        tri_e2=jnp.asarray(np.concatenate(mt_e2) if mt_e2 else np.zeros((0, 3), _f32)),
+        tri_med=jnp.asarray(np.concatenate(mt_id) if mt_id else np.zeros((0,), _i32)),
+        sph_center=jnp.asarray(np.asarray(ms_c, _f32).reshape(-1, 3)),
+        sph_radius=jnp.asarray(np.asarray(ms_r, _f32).reshape(-1)),
+        sph_med=jnp.asarray(np.asarray(ms_id, _i32).reshape(-1)),
+        density=jnp.asarray(np.asarray(med_density, _f32).reshape(-1)),
+        phase_mat=jnp.asarray(np.asarray(med_phase, _i32).reshape(-1)),
+    )
 
     anims = _flatten_animations(scene._animations)
     textures = collector.build()
@@ -454,5 +493,5 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays
         bvh=bvh,
         envmap=envmap,
         light_prims=jnp.asarray(np.asarray(sorted(set(light_prims)), _i32)),
-        prim_medium_density=jnp.asarray(prim_density),
+        media=media,
     )

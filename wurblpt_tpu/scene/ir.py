@@ -206,6 +206,42 @@ class EnvMapArrays(NamedTuple):
     rotation: jnp.ndarray      # [4] quaternion world-from-map
 
 
+class MediumArrays(NamedTuple):
+    """Homogeneous participating media (``hitable_medium.hpp:38-99`` +
+    ``medium.hpp:37-57``).
+
+    Boundary geometry lives OUTSIDE the solid prim arrays: a medium never
+    occludes deterministically — each traced segment samples an exponential
+    free path against the medium's density and scatters inside with the
+    medium's phase-function material. Boundaries are per-medium so overlapping
+    media stay independent (the reference nests one BVH per medium).
+    """
+
+    tri_p0: jnp.ndarray      # [MT, 3]
+    tri_e1: jnp.ndarray      # [MT, 3]
+    tri_e2: jnp.ndarray      # [MT, 3]
+    tri_med: jnp.ndarray     # [MT] int32 medium id
+    sph_center: jnp.ndarray  # [MS, 3]
+    sph_radius: jnp.ndarray  # [MS]
+    sph_med: jnp.ndarray     # [MS] int32 medium id
+    density: jnp.ndarray     # [M] f32 (rho; mean free path = 1/rho)
+    phase_mat: jnp.ndarray   # [M] int32 material-table id of the phase function
+
+    @property
+    def count(self):
+        return self.density.shape[0]
+
+
+def empty_media() -> MediumArrays:
+    z3 = jnp.zeros((0, 3), jnp.float32)
+    zi = jnp.zeros((0,), jnp.int32)
+    return MediumArrays(
+        tri_p0=z3, tri_e1=z3, tri_e2=z3, tri_med=zi,
+        sph_center=z3, sph_radius=jnp.zeros((0,), jnp.float32), sph_med=zi,
+        density=jnp.zeros((0,), jnp.float32), phase_mat=zi,
+    )
+
+
 class SceneArrays(NamedTuple):
     """The complete device-side scene: everything the render kernels read.
 
@@ -221,10 +257,7 @@ class SceneArrays(NamedTuple):
     envmap: EnvMapArrays
     # Hot spots (NEE light list): global prim ids; tri i -> id i, sphere j -> T + j.
     light_prims: jnp.ndarray   # [L] int32
-    # Media (homogeneous participating media bound to sphere/mesh boundaries) are
-    # represented as materials with MaterialType.PHASE_ISO on a boundary prim plus
-    # per-prim density; see scene/medium fields below.
-    prim_medium_density: jnp.ndarray  # [T + S] f32; 0 = not a medium boundary
+    media: MediumArrays
 
     @property
     def n_tris(self):
