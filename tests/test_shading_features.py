@@ -170,3 +170,125 @@ def test_medium_render_smoke():
     assert np.all(np.isfinite(a))
     # Center pixel (through thick dark smoke) is darker than a corner (env).
     assert a[12, 12, :3].mean() < 0.6 * a[0, 0, :3].mean()
+
+
+# ---------------------------------------------------------------------------
+# Animation at intersection time (hitable_triangle.hpp ANIMATE path)
+# ---------------------------------------------------------------------------
+
+def _animated_quad_scene(use_bvh):
+    """A unit quad at z=0 keyframed to slide +2x over t in [0, 1]."""
+    from wurblpt_tpu.core.transform import Transformation
+    from wurblpt_tpu.scene.builder import AnimationKeyframes
+
+    sc = Scene()
+    aid = sc.take_animation(AnimationKeyframes(
+        times=[0.0, 1.0],
+        transformations=[
+            Transformation.make(translation=(0.0, 0.0, 0.0)),
+            Transformation.make(translation=(2.0, 0.0, 0.0)),
+        ],
+    ))
+    quad = generate_quad(0.5, 0.5)
+    sc.take_mesh_instance(
+        MeshInstance(mesh=quad, material=Lambertian(), animation=aid)
+    )
+    return sc.build(use_bvh=use_bvh, t0=0.0, t1=1.0)
+
+
+@pytest.mark.parametrize("use_bvh", [False, True])
+def test_animated_quad_moves(use_bvh):
+    from wurblpt_tpu.render.intersect import scene_closest_hit
+    from wurblpt_tpu.scene.animation import make_anim_ctx
+
+    scene = _animated_quad_scene(use_bvh)
+    o = jnp.array([[0.0, 0.0, 2.0], [2.0, 0.0, 2.0], [0.0, 0.0, 2.0]])
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (3, 1))
+    t_min = jnp.full((3,), 1e-4)
+    t_max = jnp.full((3,), 1e9)
+    # Ray 0 at time 0 hits (quad at origin); ray 1 at time 1 hits (quad at
+    # x=2); ray 2 at time 1 misses (quad moved away).
+    ctx = make_anim_ctx(scene.anims, jnp.array([0.0, 1.0, 1.0]))
+    hr = scene_closest_hit(scene, o, d, t_min, t_max, anim_ctx=ctx)
+    h = np.asarray(hr.hit)
+    assert h.tolist() == [True, True, False]
+    np.testing.assert_allclose(np.asarray(hr.t)[:2], [2.0, 2.0], atol=1e-4)
+    # World position of ray 1 hit is at the MOVED location.
+    np.testing.assert_allclose(np.asarray(hr.position)[1], [2.0, 0.0, 0.0],
+                               atol=1e-4)
+
+
+def test_animated_scaled_sphere_normals():
+    """Nonuniform scale animation: normals transformed by the inverse-
+    transpose stay perpendicular to the scaled surface."""
+    from wurblpt_tpu.core.transform import Transformation
+    from wurblpt_tpu.render.intersect import scene_closest_hit
+    from wurblpt_tpu.scene.animation import make_anim_ctx
+    from wurblpt_tpu.scene.builder import AnimationKeyframes, SphereObject
+
+    sc = Scene()
+    aid = sc.take_animation(AnimationKeyframes(
+        times=[0.0, 1.0],
+        transformations=[
+            Transformation.make(scale=(1.0, 1.0, 1.0)),
+            Transformation.make(scale=(3.0, 1.0, 1.0)),
+        ],
+    ))
+    sc.take_sphere(SphereObject(center=(0, 0, 0), radius=1.0,
+                                material=Lambertian(), animation=aid))
+    scene = sc.build(use_bvh=False, t0=0.0, t1=1.0)
+
+    # Hit the ellipsoid (a=3, b=c=1) at t=1 from a diagonal direction.
+    o = jnp.array([[5.0, 5.0, 0.0]])
+    d = -o / jnp.linalg.norm(o)
+    ctx = make_anim_ctx(scene.anims, jnp.array([1.0]))
+    hr = scene_closest_hit(scene, o, d, jnp.array([1e-4]), jnp.array([1e9]),
+                           anim_ctx=ctx)
+    assert bool(hr.hit[0])
+    p = np.asarray(hr.position)[0]
+    # On the ellipsoid surface: (x/3)^2 + y^2 + z^2 = 1.
+    assert abs((p[0] / 3.0) ** 2 + p[1] ** 2 + p[2] ** 2 - 1.0) < 1e-3
+    # Analytic ellipsoid normal ~ (x/9, y, z).
+    n_ana = np.array([p[0] / 9.0, p[1], p[2]])
+    n_ana /= np.linalg.norm(n_ana)
+    np.testing.assert_allclose(np.asarray(hr.normal)[0], n_ana, atol=1e-3)
+
+
+def test_motion_blur_render_smoke():
+    """A moving emissive quad rendered over [0,1] leaves a streak covering
+    both endpoints."""
+    from wurblpt_tpu.core.transform import Transformation
+    from wurblpt_tpu.render.integrator import render_frame
+    from wurblpt_tpu.scene.builder import AnimationKeyframes
+
+    sc = Scene()
+    aid = sc.take_animation(AnimationKeyframes(
+        times=[0.0, 1.0],
+        transformations=[
+            Transformation.make(translation=(-0.6, 0.0, 0.0)),
+            Transformation.make(translation=(0.6, 0.0, 0.0)),
+        ],
+    ))
+    quad = generate_quad(0.15, 0.15)
+    sc.take_mesh_instance(
+        MeshInstance(mesh=quad, material=LightDiffuse(radiance=(4, 4, 4)),
+                     animation=aid),
+        hot_spot=True,
+    )
+    scene = sc.build(t0=0.0, t1=1.0)
+    static = SceneStatic.from_scene(scene)
+    cam = make_camera(
+        transformation=Transformation.make(translation=(0.0, 0.0, 2.5)),
+        vfov_deg=50.0, width=32, height=32,
+    )
+    img = render_frame(scene, static, cam, CameraConfig(), SensorRGB(),
+                       32, 32, 4, t0=0.0, t1=1.0,
+                       params=RenderParams(max_path_components=2))
+    a = np.asarray(img)[..., 0]
+    assert np.all(np.isfinite(a))
+    mid = a[14:18, :]
+    # Emission is visible near both ends of the sweep and absent at the top
+    # edge row (no geometry there).
+    assert mid[:, 4:10].max() > 0.5
+    assert mid[:, 22:28].max() > 0.5
+    assert a[0, :].max() < 0.25

@@ -209,9 +209,18 @@ def _build_numpy(amin, amax, cent, leaf_size):
 # Public entry
 # ---------------------------------------------------------------------------
 
-def build_bvh_arrays(tris_np, spheres_np, leaf_size: int = LEAF_SIZE) -> BVHArrays:
-    """Build BVHArrays from numpy geometry (see prim_aabbs for inputs)."""
+def build_bvh_arrays(tris_np, spheres_np, leaf_size: int = LEAF_SIZE,
+                     aabb_override=None) -> BVHArrays:
+    """Build BVHArrays from numpy geometry (see prim_aabbs for inputs).
+
+    aabb_override: optional (amin, amax) replacing the computed prim boxes —
+    used for animated prims whose world boxes are swept over the render
+    interval (reference Scene::updateBVH(t0, t1), scene.hpp:151-169).
+    """
     amin, amax, cent = prim_aabbs(tris_np, spheres_np)
+    if aabb_override is not None:
+        amin, amax = aabb_override
+        cent = (amin + amax) * 0.5
     if amin.shape[0] == 0:
         raise ValueError("cannot build a BVH over an empty scene")
     built = _build_native(amin, amax, cent, leaf_size)

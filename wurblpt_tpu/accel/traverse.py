@@ -40,10 +40,12 @@ def _slab_test(o, inv_d, bmin, bmax, t_min, t_max):
     return near <= far
 
 
-def _leaf_intersect(scene: SceneArrays, o, d, t_min, pids, best):
+def _leaf_intersect(scene: SceneArrays, o, d, t_min, pids, best, obj_rays=None):
     """Intersect each ray with its LEAF_SIZE gathered prims; fold into best.
 
     pids: [N, K] global prim ids (-1 = padding). best: (t, prim, u, v).
+    obj_rays: optional per-animation object-space rays (o_a, d_a) [N,A,3];
+    animated prims gather their lane's ray (hit t is affine-invariant).
     """
     bt, bp, bu, bv = best
     n_tri = scene.n_tris
@@ -52,6 +54,22 @@ def _leaf_intersect(scene: SceneArrays, o, d, t_min, pids, best):
 
     ox = o[:, None, :]
     dx = d[:, None, :]
+    if obj_rays is not None:
+        # Per-lane anim id: tris and spheres each carry one.
+        if n_tri > 0:
+            aid_t = scene.tris.anim[jnp.clip(pid_safe, 0, n_tri - 1)]
+        else:
+            aid_t = jnp.zeros(pids.shape, jnp.int32)
+        if scene.n_spheres > 0:
+            aid_s = scene.spheres.anim[
+                jnp.clip(pid_safe - n_tri, 0, scene.n_spheres - 1)
+            ]
+        else:
+            aid_s = jnp.zeros(pids.shape, jnp.int32)
+        aid = jnp.where(pids < n_tri, aid_t, aid_s)
+        o_a, d_a = obj_rays
+        ox = jnp.take_along_axis(o_a, aid[..., None], axis=1)
+        dx = jnp.take_along_axis(d_a, aid[..., None], axis=1)
 
     if n_tri > 0:
         ti = jnp.clip(pid_safe, 0, n_tri - 1)
@@ -123,8 +141,12 @@ def _leaf_intersect(scene: SceneArrays, o, d, t_min, pids, best):
     )
 
 
-def bvh_closest_hit(scene: SceneArrays, o, d, t_min, t_max):
-    """Closest hit via the threaded BVH. Returns (t, prim, u, v); prim=-1 miss."""
+def bvh_closest_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
+    """Closest hit via the threaded BVH. Returns (t, prim, u, v); prim=-1 miss.
+
+    Node AABBs are world-space (swept over the render interval for animated
+    prims at build time); leaves test in object space via `obj_rays`.
+    """
     bvh = scene.bvh
     n = o.shape[0]
     leaf_k = _leaf_width(bvh)
@@ -162,7 +184,9 @@ def bvh_closest_hit(scene: SceneArrays, o, d, t_min, t_max):
         slot = jnp.maximum(pstart, 0)[:, None] + offs
         slot = jnp.clip(slot, 0, bvh.prim_order.shape[0] - 1)
         pids = jnp.where(do_leaf[:, None], bvh.prim_order[slot], -1)
-        bt, bp, bu, bv = _leaf_intersect(scene, o, d, t_min, pids, (bt, bp, bu, bv))
+        bt, bp, bu, bv = _leaf_intersect(
+            scene, o, d, t_min, pids, (bt, bp, bu, bv), obj_rays=obj_rays
+        )
 
         nxt = jnp.where(box_hit & ~is_leaf, ns + 1, miss)
         node = jnp.where(live, nxt, -1)

@@ -74,10 +74,17 @@ def get_ground_truth(
         cam, cam_cfg, jnp.stack([px, py], -1), width, height,
         jnp.float32(t), jnp.float32(t), zeros, jnp.zeros((n_pix, 2)),
     )
+    if static.has_anim:
+        from ..scene.animation import make_anim_ctx
+
+        anim_ctx = make_anim_ctx(scene.anims, jnp.full((n_pix,), jnp.float32(t)))
+    else:
+        anim_ctx = None
     tt, prim, u, v = scene_raw_hit(
-        scene, o, d, jnp.full((n_pix,), 1e-4), jnp.full((n_pix,), BIG)
+        scene, o, d, jnp.full((n_pix,), 1e-4), jnp.full((n_pix,), BIG),
+        anim_ctx=anim_ctx,
     )
-    hr = assemble_hit(scene, o, d, tt, prim, u, v)
+    hr = assemble_hit(scene, o, d, tt, prim, u, v, anim_ctx=anim_ctx)
 
     out: Dict[str, jnp.ndarray] = {}
 

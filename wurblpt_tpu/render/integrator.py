@@ -145,6 +145,16 @@ def trace_paths(
     has_env = static.env_kind != 0
     has_lights = static.n_lights > 0
 
+    # Per-ray animation frames (the AnimationCache analog, animation.hpp:52-125):
+    # ray time is fixed along a path, so all A animations are evaluated once per
+    # trace and every cast reuses the object-space transform tables.
+    if static.has_anim:
+        from ..scene.animation import make_anim_ctx
+
+        anim_ctx = make_anim_ctx(scene.anims, time)
+    else:
+        anim_ctx = None
+
     init = _LoopState(
         bounce=jnp.zeros((), jnp.int32),
         o=o,
@@ -170,7 +180,9 @@ def trace_paths(
         prim = n_solid + medium_id so blocker-identity checks treat them as
         occluders (wurblpt.hpp:203-217 semantics with media in the BVH).
         """
-        t, prim, uu, vv = scene_raw_hit(scene, o_, d_, tmin_, jnp.full((n,), BIG))
+        t, prim, uu, vv = scene_raw_hit(
+            scene, o_, d_, tmin_, jnp.full((n,), BIG), anim_ctx=anim_ctx
+        )
         if static.has_media:
             return apply_media(
                 scene, o_, d_, tmin_, t, prim, uu, vv,
@@ -208,7 +220,7 @@ def trace_paths(
             )
             acc = sensor.accumulate(acc, ev)
 
-        hr = assemble_hit(scene, st.o, st.d, t, prim, u, v)
+        hr = assemble_hit(scene, st.o, st.d, t, prim, u, v, anim_ctx=anim_ctx)
         # Normal mapping (material.hpp:195-228): perturb the shading frame
         # before any scatter/eval; compiled out when no normal maps exist.
         hr = apply_normal_map(scene, static, hr)

@@ -189,8 +189,12 @@ def _closest_spheres(o, d, scene: SceneArrays, t_min, t_max, best, obj_rays=None
     )
 
 
-def scene_raw_hit(scene: SceneArrays, o, d, t_min, t_max):
-    """Closest-hit over all primitives. Returns (t, prim, u, v); prim = -1 on miss."""
+def scene_raw_hit(scene: SceneArrays, o, d, t_min, t_max, anim_ctx=None):
+    """Closest-hit over all primitives. Returns (t, prim, u, v); prim = -1 on miss.
+
+    anim_ctx: scene.animation.AnimCtx for animated scenes — rays are moved to
+    each animation's object space once and prims gather their lane's ray.
+    """
     n = o.shape[0]
     best = (
         jnp.full((n,), BIG),
@@ -198,12 +202,13 @@ def scene_raw_hit(scene: SceneArrays, o, d, t_min, t_max):
         jnp.zeros((n,)),
         jnp.zeros((n,)),
     )
+    obj_rays = anim_ctx.ray_to_object(o, d) if anim_ctx is not None else None
     if scene.bvh is not None:
         from ..accel.traverse import bvh_closest_hit
 
-        return bvh_closest_hit(scene, o, d, t_min, t_max)
-    best = _closest_tris(o, d, scene.tris, t_min, t_max, best)
-    best = _closest_spheres(o, d, scene, t_min, t_max, best)
+        return bvh_closest_hit(scene, o, d, t_min, t_max, obj_rays=obj_rays)
+    best = _closest_tris(o, d, scene.tris, t_min, t_max, best, obj_rays=obj_rays)
+    best = _closest_spheres(o, d, scene, t_min, t_max, best, obj_rays=obj_rays)
     return best
 
 
@@ -230,11 +235,14 @@ def _sphere_uv_tangent(local_pos_unit):
     return jnp.stack([u, v], axis=-1), tangent
 
 
-def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v) -> HitRecord:
+def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v, anim_ctx=None) -> HitRecord:
     """Gather per-prim attributes for winning prims and build the HitRecord.
 
     Interpolated normals/texcoords/tangents + Gram-Schmidt, front-face flip and
-    backside flag match ``hitable_triangle.hpp:276-325``.
+    backside flag match ``hitable_triangle.hpp:276-325``. With `anim_ctx`,
+    prim-local attributes are computed in the animation's object space and the
+    resulting frame is pushed to world with the forward/normal matrices
+    (animation.hpp AnimationCache normal-matrix semantics).
     """
     n_tri = scene.n_tris
     hit = prim >= 0
@@ -242,6 +250,24 @@ def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v) -> HitRecord:
     is_tri = hit & (prim_safe < n_tri) if n_tri > 0 else jnp.zeros_like(hit)
 
     position = o + t[..., None] * d
+    pos_local = position
+    aid_win = None
+    if anim_ctx is not None:
+        if n_tri > 0:
+            aid_t = scene.tris.anim[jnp.clip(prim_safe, 0, n_tri - 1)]
+        else:
+            aid_t = jnp.zeros(prim.shape, jnp.int32)
+        if scene.n_spheres > 0:
+            aid_s = scene.spheres.anim[
+                jnp.clip(prim_safe - n_tri, 0, scene.n_spheres - 1)
+            ]
+        else:
+            aid_s = jnp.zeros(prim.shape, jnp.int32)
+        aid_win = jnp.where(is_tri, aid_t, aid_s)
+        o_a, d_a = anim_ctx.ray_to_object(o, d)
+        o_obj = jnp.take_along_axis(o_a, aid_win[:, None, None], axis=1)[:, 0]
+        d_obj = jnp.take_along_axis(d_a, aid_win[:, None, None], axis=1)[:, 0]
+        pos_local = o_obj + t[..., None] * d_obj
 
     if n_tri > 0:
         ti = jnp.clip(prim_safe, 0, n_tri - 1)
@@ -282,7 +308,7 @@ def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v) -> HitRecord:
         S = scene.spheres
         center = S.center[si]
         radius = S.radius[si]
-        local = (position - center) / jnp.maximum(radius, 1e-20)[..., None]
+        local = (pos_local - center) / jnp.maximum(radius, 1e-20)[..., None]
         n_sph = normalize(local)
         uv_sph, tan_sph = _sphere_uv_tangent(n_sph)
         mat_sph = S.mat[si]
@@ -298,6 +324,16 @@ def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v) -> HitRecord:
     uv_out = jnp.where(sel[..., :1] if sel.shape[-1] == 1 else sel, uv_tri, uv_sph)
     tangent = jnp.where(sel, tan_tri, tan_sph)
     mat = jnp.where(is_tri, mat_tri, mat_sph)
+
+    if anim_ctx is not None:
+        # Push the object-space frame to world: normals by R diag(1/s)
+        # (normal matrix), tangents by the forward map (animation.hpp:52-125).
+        from ..scene.animation import anim_forward_frames
+
+        m_fwd, m_nrm, _ = anim_forward_frames(scene.anims, aid_win, anim_ctx.time)
+        normal = normalize(jnp.einsum("nij,nj->ni", m_nrm, normal))
+        geom_normal = normalize(jnp.einsum("nij,nj->ni", m_nrm, geom_normal))
+        tangent = normalize(jnp.einsum("nij,nj->ni", m_fwd, tangent))
 
     # Backside: geometric normal faces away from the incoming ray.
     backside = dot(d, geom_normal) > 0.0
@@ -319,6 +355,6 @@ def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v) -> HitRecord:
     )
 
 
-def scene_closest_hit(scene: SceneArrays, o, d, t_min, t_max) -> HitRecord:
-    t, prim, u, v = scene_raw_hit(scene, o, d, t_min, t_max)
-    return assemble_hit(scene, o, d, t, prim, u, v)
+def scene_closest_hit(scene: SceneArrays, o, d, t_min, t_max, anim_ctx=None) -> HitRecord:
+    t, prim, u, v = scene_raw_hit(scene, o, d, t_min, t_max, anim_ctx=anim_ctx)
+    return assemble_hit(scene, o, d, t, prim, u, v, anim_ctx=anim_ctx)

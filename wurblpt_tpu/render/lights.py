@@ -5,6 +5,12 @@ Reference semantics: ``Hitable::pdfValue``/``direction`` for triangles
 combined in the integrator as a uniform pick over hot spots whose mixture pdf is
 the average of all per-light solid-angle pdfs (``wurblpt.hpp:181-195``). Here the
 per-light pdfs are evaluated batched over a [RAYS x LIGHTS] broadcast.
+
+Limitation: NEE samples light geometry at its rest pose, so ANIMATED emitters
+lose their NEE contribution (and the emitted-hit MIS weight misestimates the
+NEE pdf) — dimmer-than-reference direct light from moving emitters. Static
+emitters in animated scenes are exact. The reference samples swept AABBs
+(hitable_triangle.hpp:336-395) — TODO parity for moving lights.
 """
 
 from __future__ import annotations

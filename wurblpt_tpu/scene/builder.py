@@ -343,11 +343,15 @@ class Scene:
             cache[key] = self.take_material(m)
         return cache[key]
 
-    def build(self, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays:
+    def build(self, max_image_dim: int = 2048, use_bvh=None,
+              t0: float = 0.0, t1: float = 0.0) -> SceneArrays:
         """Flatten to SceneArrays. `use_bvh`: None = auto (prim-count
         threshold), True/False = force; the BVH is the threaded SAH tree of
         :mod:`wurblpt_tpu.accel` (reference ``Scene::updateBVH``,
-        scene.hpp:151-169)."""
+        scene.hpp:151-169). [t0, t1] is the render time interval: animated
+        prims get conservative swept AABBs over it, like the reference's
+        ``updateBVH(t0, t1)``."""
         from .flatten import flatten_scene
 
-        return flatten_scene(self, max_image_dim=max_image_dim, use_bvh=use_bvh)
+        return flatten_scene(self, max_image_dim=max_image_dim, use_bvh=use_bvh,
+                             t0=t0, t1=t1)

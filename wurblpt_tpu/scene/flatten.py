@@ -291,7 +291,74 @@ def _bake_transform(tf: Optional[Transformation], pos, nrm, tan):
     return pos, nrm, tan
 
 
-def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays:
+def _host_eval_anim(anim, t: float):
+    """Host-side keyframe evaluation (numpy mirror of animation.eval_animation):
+    returns (R [3,3] incl. scale, translation [3])."""
+    times = np.asarray(anim.times, np.float64)
+    k = int(np.clip(np.searchsorted(times, t, side="right") - 1, 0, len(times) - 1))
+    k1 = min(k + 1, len(times) - 1)
+    t0k, t1k = times[k], times[k1]
+    alpha = 0.0 if t1k <= t0k else float(np.clip((t - t0k) / (t1k - t0k), 0.0, 1.0))
+    tf0, tf1 = anim.transformations[k], anim.transformations[k1]
+
+    def npv(x):
+        return np.asarray(x, np.float64).reshape(-1)
+
+    tr = npv(tf0.translation) * (1 - alpha) + npv(tf1.translation) * alpha
+    s = npv(tf0.scale) * (1 - alpha) + npv(tf1.scale) * alpha
+    q0, q1 = npv(tf0.rotation), npv(tf1.rotation)
+    dotq = float(np.dot(q0, q1))
+    if dotq < 0:
+        q1, dotq = -q1, -dotq
+    if dotq > 0.9995:
+        q = q0 * (1 - alpha) + q1 * alpha
+    else:
+        th = np.arccos(np.clip(dotq, -1.0, 1.0))
+        q = (np.sin((1 - alpha) * th) * q0 + np.sin(alpha * th) * q1) / np.sin(th)
+    q = q / np.linalg.norm(q)
+    x, y, z, w = q
+    rot = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    return rot * s[None, :], tr
+
+
+def _swept_aabbs(amin, amax, prim_anim, scene, t0: float, t1: float, n_samples: int = 16):
+    """Conservative world AABBs for animated prims: union the object box's 8
+    transformed corners over sampled times in [t0, t1] plus every keyframe time
+    inside the interval, then inflate 1% (the reference sweeps rotations the
+    same way, hitable_triangle.hpp:336-395)."""
+    amin = amin.copy()
+    amax = amax.copy()
+    for aid in np.unique(prim_anim):
+        if aid == 0:
+            continue
+        anim = scene._animations[aid]
+        times = set(np.linspace(t0, t1, n_samples).tolist())
+        times.update(t for t in np.asarray(anim.times, np.float64) if t0 <= t <= t1)
+        sel = prim_anim == aid
+        bmin, bmax = amin[sel], amax[sel]
+        corners = np.stack([
+            np.where(np.array(bits)[None, :] > 0, bmax, bmin)
+            for bits in [(i >> 2 & 1, i >> 1 & 1, i & 1) for i in range(8)]
+        ], axis=1)  # [P, 8, 3]
+        new_min = np.full_like(bmin, np.inf)
+        new_max = np.full_like(bmax, -np.inf)
+        for t in sorted(times):
+            rot, tr = _host_eval_anim(anim, float(t))
+            tc = corners @ rot.T + tr[None, None, :]
+            new_min = np.minimum(new_min, tc.min(axis=1))
+            new_max = np.maximum(new_max, tc.max(axis=1))
+        pad = 0.01 * (new_max - new_min) + 1e-6
+        amin[sel] = (new_min - pad).astype(np.float32)
+        amax[sel] = (new_max + pad).astype(np.float32)
+    return amin, amax
+
+
+def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None,
+                  t0: float = 0.0, t1: float = 0.0) -> SceneArrays:
     collector = _TextureCollector()
 
     rgl_names = {name: i for i, name in enumerate(scene._rgl_tables)}
@@ -329,8 +396,10 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays
         if tan is None and uv is not None:
             tan = compute_tangents(pos, nrm, uv, mesh.indices)
         anim_id = inst.animation if inst.animation is not None else 0
-        if anim_id == 0:
-            pos, nrm, tan = _bake_transform(inst.transformation, pos, nrm, tan)
+        # The instance transformation is always baked into the vertices; a
+        # keyframe animation applies ON TOP at ray time (the reference's
+        # TRANSFORM + ANIMATE template combination, hitable_triangle.hpp:446-511).
+        pos, nrm, tan = _bake_transform(inst.transformation, pos, nrm, tan)
         f = mesh.indices
         nf = len(f)
         v0, v1, v2 = pos[f[:, 0]], pos[f[:, 1]], pos[f[:, 2]]
@@ -393,7 +462,7 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays
         mat_id = scene._resolve_material(sph.material)
         center = np.asarray(sph.center, _f32)
         radius = float(sph.radius)
-        if sph.transformation is not None and (sph.animation or 0) == 0:
+        if sph.transformation is not None:
             tf = sph.transformation
             center = center * np.asarray(tf.scale, _f32)
             # rotate center
@@ -466,7 +535,7 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays
         use_bvh = n_prims >= 512
     bvh = None
     if use_bvh and n_prims > 0:
-        from ..accel.build import build_bvh_arrays
+        from ..accel.build import build_bvh_arrays, prim_aabbs
 
         tri_np = (
             np.concatenate(p0s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
@@ -477,7 +546,15 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None) -> SceneArrays
             np.asarray(sc, _f32).reshape(-1, 3),
             np.asarray(sr, _f32).reshape(-1),
         )
-        bvh = build_bvh_arrays(tri_np, sph_np)
+        aabb_override = None
+        prim_anim = np.concatenate([
+            np.concatenate(anims_idx) if anims_idx else np.zeros((0,), _i32),
+            np.asarray(sa, _i32).reshape(-1),
+        ])
+        if np.any(prim_anim != 0):
+            amin, amax, _ = prim_aabbs(tri_np, sph_np)
+            aabb_override = _swept_aabbs(amin, amax, prim_anim, scene, t0, t1)
+        bvh = build_bvh_arrays(tri_np, sph_np, aabb_override=aabb_override)
 
     # --- envmap ------------------------------------------------------------
     from ..render.envmap import build_envmap_arrays
