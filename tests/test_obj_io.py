@@ -1,0 +1,159 @@
+"""OBJ/MTL import/export (import.hpp:206-588, scene.hpp:215-240)."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from wurblpt_tpu.io.obj import (
+    ImportBits,
+    _parse_native,
+    _parse_python,
+    export_scene_to_obj,
+    import_geometry,
+    import_into_scene,
+    load_obj_raw,
+)
+from wurblpt_tpu.scene import builder as B
+
+
+OBJ = textwrap.dedent("""\
+    mtllib test.mtl
+    v 0 0 0
+    v 1 0 0
+    v 1 1 0
+    v 0 1 0
+    vt 0 0
+    vt 1 0
+    vt 1 1
+    vt 0 1
+    vn 0 0 1
+    usemtl diffuse_red
+    f 1/1/1 2/2/1 3/3/1 4/4/1
+    usemtl shiny
+    f -4//-1 -3//-1 -2//-1
+    usemtl glassy
+    f 1 2 3
+    usemtl lamp
+    f 1/1/1 3/3/1 4/4/1
+""")
+
+MTL = textwrap.dedent("""\
+    newmtl diffuse_red
+    Kd 0.8 0.1 0.1
+    Ks 0 0 0
+
+    newmtl shiny
+    Kd 0.3 0.3 0.3
+    Ks 0.6 0.6 0.6
+    Ns 64
+
+    newmtl glassy
+    Kd 0.9 0.9 1.0
+    Ni 1.52
+    d 0.1
+
+    newmtl lamp
+    Kd 0 0 0
+    Ke 5 5 5
+""")
+
+
+@pytest.fixture()
+def obj_file(tmp_path):
+    (tmp_path / "test.obj").write_text(OBJ)
+    (tmp_path / "test.mtl").write_text(MTL)
+    return str(tmp_path / "test.obj")
+
+
+def test_parsers_agree(obj_file):
+    nat = _parse_native(obj_file)
+    py = _parse_python(obj_file)
+    assert nat is not None, "native parser must build in this environment"
+    np.testing.assert_allclose(nat.v, py.v)
+    np.testing.assert_allclose(nat.vt, py.vt)
+    np.testing.assert_allclose(nat.vn, py.vn)
+    np.testing.assert_array_equal(nat.fv, py.fv)
+    np.testing.assert_array_equal(nat.fn, py.fn)
+    np.testing.assert_array_equal(nat.ft, py.ft)
+    np.testing.assert_array_equal(nat.fmat, py.fmat)
+    assert len(nat.materials) == len(py.materials) == 4
+    for a, b in zip(nat.materials, py.materials):
+        assert a["name"] == b["name"]
+        np.testing.assert_allclose(a["kd"], b["kd"])
+        assert a["ni"] == b["ni"]
+
+
+def test_parse_semantics(obj_file):
+    raw = load_obj_raw(obj_file)
+    # 1 quad (2 tris) + 1 tri (negative idx) + 1 tri (no vt/vn) + 1 tri = 5.
+    assert raw.fv.shape == (5, 3)
+    # Quad fan: (0,1,2), (0,2,3).
+    np.testing.assert_array_equal(raw.fv[0], [0, 1, 2])
+    np.testing.assert_array_equal(raw.fv[1], [0, 2, 3])
+    # Negative indices resolve to the same quad verts.
+    np.testing.assert_array_equal(raw.fv[2], [0, 1, 2])
+    assert raw.fn[2, 0] == 0
+    # Bare 'f 1 2 3': no vt/vn.
+    assert raw.ft[3, 0] == -1 and raw.fn[3, 0] == -1
+    assert raw.fmat.tolist() == [0, 0, 1, 2, 3]
+
+
+def test_import_heuristics(obj_file):
+    sc = B.Scene()
+    n = import_into_scene(sc, obj_file, import_bits=ImportBits.WITH_GLASS)
+    assert n == 4
+    mats = {type(m).__name__ for m in sc._materials}
+    assert "Lambertian" in mats       # diffuse_red
+    assert "ModPhong" in mats         # shiny (specular) + lamp (emissive)
+    assert "Glass" in mats            # glassy (d < 1, WITH_GLASS)
+    # The lamp instance is registered as a hot spot.
+    hot = [h for _, h in sc._instances]
+    assert sum(hot) == 1
+    # Builds into arrays and has one light prim.
+    arrays = sc.build()
+    assert arrays.light_prims.shape[0] >= 1
+
+
+def test_import_geometry(obj_file):
+    meshes = import_geometry(obj_file)
+    assert len(meshes) == 4
+    assert all(m.positions.shape[1] == 3 for m in meshes)
+
+
+def test_export_import_roundtrip(tmp_path):
+    from wurblpt_tpu.scene.generator import generate_cube
+
+    sc = B.Scene()
+    sc.take_material(B.Lambertian(albedo=(0.7, 0.2, 0.2)), name="red")
+    sc.take_mesh_instance(B.MeshInstance(mesh=generate_cube(1.0), material="red"))
+    sc.take_sphere(B.SphereObject(center=(3, 0, 0), radius=1.0,
+                                  material=B.ModPhong(diffuse=(0.2, 0.6, 0.2))))
+    out = str(tmp_path / "exported.obj")
+    export_scene_to_obj(sc, out)
+    assert os.path.exists(out) and os.path.exists(str(tmp_path / "exported.mtl"))
+
+    sc2 = B.Scene()
+    n = import_into_scene(sc2, out)
+    assert n >= 2
+    arrays = sc2.build()
+    # Cube: 12 tris; sphere tessellated into many.
+    assert arrays.n_tris > 12
+    # Re-imported diffuse color round-trips.
+    reds = [m for m in sc2._materials if isinstance(m, B.Lambertian)
+            and np.allclose(np.asarray(m.albedo)[:3], (0.7, 0.2, 0.2), atol=1e-3)]
+    assert reds
+
+
+def test_bump_to_normal_map():
+    from wurblpt_tpu.io.obj import bump_to_normal_map
+
+    # Flat height -> straight-up normals (0.5, 0.5, 1).
+    nm = bump_to_normal_map(np.full((8, 8), 0.3, np.float32))
+    np.testing.assert_allclose(nm[..., 2], 1.0, atol=1e-6)
+    np.testing.assert_allclose(nm[..., 0], 0.5, atol=1e-6)
+    # A horizontal ramp tilts normals along -x.
+    ramp = np.tile(np.linspace(0, 1, 16, dtype=np.float32), (8, 1))
+    nm = bump_to_normal_map(ramp)
+    assert nm[4, 8, 0] < 0.5

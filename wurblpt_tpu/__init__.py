@@ -50,5 +50,12 @@ from .scene.builder import (  # noqa: F401
     SphereObject,
 )
 from .scene import generator  # noqa: F401
+from .io import (  # noqa: F401
+    ImportBits,
+    export_scene_to_obj,
+    import_geometry,
+    import_into_scene,
+    import_texture,
+)
 
 __version__ = "0.1.0"
