@@ -42,7 +42,7 @@ def main():
     fn = jax.jit(
         lambda s, c: render_frame(
             s, static, c, CameraConfig(), sensor, width, height, samples_sqrt,
-            params=params, samples_per_pass=4,
+            params=params, samples_per_pass=16,
         )
     )
 

@@ -405,42 +405,46 @@ def render_frame(
     assert spp % samples_per_pass == 0, "samples_per_pass must divide spp"
     n_pass = spp // samples_per_pass
     n_pix = width * height
+    n_rays = n_pix * samples_per_pass  # all of a pass's samples in ONE batch
 
     pixel_id = jnp.arange(n_pix, dtype=jnp.int32)
-    px = (pixel_id % width).astype(jnp.float32)
-    py = (pixel_id // width).astype(jnp.float32)
+    # Samples are folded into the ray batch (TPUs want wide batches; the
+    # reference instead loops samples per pixel, wurblpt.hpp:348). The RNG is
+    # counter-based on (pixel, sample), so the image is bit-identical for any
+    # samples_per_pass.
+    pid = jnp.broadcast_to(pixel_id[None, :], (samples_per_pass, n_pix)).reshape(-1)
+    px = (pid % width).astype(jnp.float32)
+    py = (pid // width).astype(jnp.float32)
+    s_local = jnp.broadcast_to(
+        jnp.arange(samples_per_pass, dtype=jnp.int32)[:, None],
+        (samples_per_pass, n_pix),
+    ).reshape(-1)
 
     t0f = jnp.float32(t0)
     t1f = jnp.float32(t1)
 
     def one_pass(p, img_acc):
-        def one_sample(s_local, img_acc):
-            s = p * samples_per_pass + s_local
-            # stratified jitter (wurblpt.hpp:350-359)
-            si = (s % samples_sqrt).astype(jnp.float32)
-            sj = (s // samples_sqrt).astype(jnp.float32)
-            uj = uniform2(pixel_id, s, 0, Salt.PIXEL_JITTER)
-            if params.randomize_ray_over_pixel:
-                jx = (si + uj[..., 0]) / samples_sqrt
-                jy = (sj + uj[..., 1]) / samples_sqrt
-            else:
-                jx = jnp.full((n_pix,), 0.5)
-                jy = jnp.full((n_pix,), 0.5)
-            pxy = jnp.stack([px + jx, py + jy], axis=-1)
-            u_time = uniform1(pixel_id, s, 0, Salt.TIME)
-            u_lens = uniform2(pixel_id, s, 0, Salt.LENS)
-            o, d, time = camera_rays(
-                cam, cam_cfg, pxy, width, height, t0f, t1f, u_time, u_lens
-            )
-            acc = trace_paths(
-                scene, static, sensor, o, d, time,
-                pixel_id, jnp.full((n_pix,), s, jnp.int32), params,
-            )
-            return img_acc + acc
-
-        return jax.lax.fori_loop(
-            0, samples_per_pass, lambda sl, ia: one_sample(jnp.int32(sl), ia), img_acc
+        s = p * samples_per_pass + s_local
+        # stratified jitter (wurblpt.hpp:350-359)
+        si = (s % samples_sqrt).astype(jnp.float32)
+        sj = (s // samples_sqrt).astype(jnp.float32)
+        uj = uniform2(pid, s, 0, Salt.PIXEL_JITTER)
+        if params.randomize_ray_over_pixel:
+            jx = (si + uj[..., 0]) / samples_sqrt
+            jy = (sj + uj[..., 1]) / samples_sqrt
+        else:
+            jx = jnp.full((n_rays,), 0.5)
+            jy = jnp.full((n_rays,), 0.5)
+        pxy = jnp.stack([px + jx, py + jy], axis=-1)
+        u_time = uniform1(pid, s, 0, Salt.TIME)
+        u_lens = uniform2(pid, s, 0, Salt.LENS)
+        o, d, time = camera_rays(
+            cam, cam_cfg, pxy, width, height, t0f, t1f, u_time, u_lens
         )
+        acc = trace_paths(
+            scene, static, sensor, o, d, time, pid, s, params,
+        )
+        return img_acc + acc.reshape(samples_per_pass, n_pix, sensor.n_acc).sum(0)
 
     img = jax.lax.fori_loop(
         0, n_pass, lambda pp, ia: one_pass(jnp.int32(pp), ia),

@@ -123,18 +123,22 @@ def _closest_tris(o, d, tris: Triangles, t_min, t_max, best, obj_rays=None):
     n_tri = tris.count
     if n_tri == 0:
         return best
-    n_tiles = -(-n_tri // TRI_TILE)
-    pad = n_tiles * TRI_TILE - n_tri
+    # Tile width: 128-lane aligned, capped at TRI_TILE. A small scene must not
+    # pay for a full padded tile (36 tris padded to 1024 was 28x wasted VPU
+    # work on the Cornell-box benchmark).
+    tile = min(TRI_TILE, -(-n_tri // 128) * 128)
+    n_tiles = -(-n_tri // tile)
+    pad = n_tiles * tile - n_tri
 
     def padded(x):
         if pad == 0:
             return x
         return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
 
-    p0 = padded(tris.p0).reshape(n_tiles, TRI_TILE, 3)
-    e1 = padded(tris.e1).reshape(n_tiles, TRI_TILE, 3)
-    e2 = padded(tris.e2).reshape(n_tiles, TRI_TILE, 3)
-    aid = padded(tris.anim).reshape(n_tiles, TRI_TILE) if obj_rays is not None else None
+    p0 = padded(tris.p0).reshape(n_tiles, tile, 3)
+    e1 = padded(tris.e1).reshape(n_tiles, tile, 3)
+    e2 = padded(tris.e2).reshape(n_tiles, tile, 3)
+    aid = padded(tris.anim).reshape(n_tiles, tile) if obj_rays is not None else None
 
     def body(i, best):
         bt, bp, bu, bv = best
@@ -145,7 +149,7 @@ def _closest_tris(o, d, tris: Triangles, t_min, t_max, best, obj_rays=None):
             o_i = jnp.take_along_axis(o_a, aid[i][None, :, None], axis=1)
             d_i = jnp.take_along_axis(d_a, aid[i][None, :, None], axis=1)
         t, u, v, valid = ray_tri_tile(o_i, d_i, p0[i], e1[i], e2[i], t_min, t_max)
-        tri_ids = i * TRI_TILE + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        tri_ids = i * tile + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         valid &= tri_ids < n_tri
         t = jnp.where(valid, t, BIG)
         j = jnp.argmin(t, axis=1)
