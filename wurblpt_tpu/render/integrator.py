@@ -405,6 +405,42 @@ def render_frame(
     assert spp % samples_per_pass == 0, "samples_per_pass must divide spp"
     n_pass = spp // samples_per_pass
     n_pix = width * height
+    img = accumulate_passes(
+        scene, static, cam, cam_cfg, sensor, width, height, samples_sqrt,
+        t0, t1, params, samples_per_pass,
+        jnp.zeros((n_pix, sensor.n_acc)), 0, n_pass,
+    )
+    img = sensor.finish(img, 1.0 / spp)
+    return img.reshape(height, width, sensor.n_acc)
+
+
+def accumulate_passes(
+    scene: SceneArrays,
+    static: SceneStatic,
+    cam: CameraParams,
+    cam_cfg: CameraConfig,
+    sensor,
+    width: int,
+    height: int,
+    samples_sqrt: int,
+    t0: float,
+    t1: float,
+    params: RenderParams,
+    samples_per_pass: int,
+    img_acc,
+    pass_start: int,
+    n_pass: int,
+):
+    """Accumulate `n_pass` sample passes starting at pass index `pass_start`
+    into the raw sensor accumulator `img_acc` [n_pix, n_acc].
+
+    Because the RNG is counter-based on (pixel, global sample id), splitting a
+    frame's passes across calls — or across process restarts via
+    render.checkpoint — is bit-identical to a single render_frame call. This is
+    the resume granularity SURVEY.md section 5.4 calls for (the reference can
+    only checkpoint whole frames via written image files).
+    """
+    n_pix = width * height
     n_rays = n_pix * samples_per_pass  # all of a pass's samples in ONE batch
 
     pixel_id = jnp.arange(n_pix, dtype=jnp.int32)
@@ -446,9 +482,8 @@ def render_frame(
         )
         return img_acc + acc.reshape(samples_per_pass, n_pix, sensor.n_acc).sum(0)
 
-    img = jax.lax.fori_loop(
-        0, n_pass, lambda pp, ia: one_pass(jnp.int32(pp), ia),
-        jnp.zeros((n_pix, sensor.n_acc)),
+    return jax.lax.fori_loop(
+        pass_start, pass_start + n_pass,
+        lambda pp, ia: one_pass(jnp.int32(pp), ia),
+        img_acc,
     )
-    img = sensor.finish(img, 1.0 / spp)
-    return img.reshape(height, width, sensor.n_acc)

@@ -323,6 +323,19 @@ class Scene:
     def take_medium(self, medium: MediumObject) -> None:
         self._media.append(medium)
 
+    def take_rgl_table(self, name: str, source) -> None:
+        """Register a measured RGL BRDF dataset under `name` so RGLMaterial
+        instances can reference it (MaterialRGL ctor, material_rgl.hpp:57-59).
+
+        source: path to a .bsdf tensor_file, a parsed field dict, or an
+        already-loaded table dict from materials.rgl.load_rgl_material."""
+        from ..materials.rgl import load_rgl_material
+
+        if isinstance(source, dict) and "vndf_data" in source:
+            self._rgl_tables[name] = source
+        else:
+            self._rgl_tables[name] = load_rgl_material(source)
+
     def set_environment_map(self, env) -> None:
         self._envmap = env
 

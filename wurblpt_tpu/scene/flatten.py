@@ -571,4 +571,13 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None,
         envmap=envmap,
         light_prims=jnp.asarray(np.asarray(sorted(set(light_prims)), _i32)),
         media=media,
+        rgl=_stack_rgl(scene),
     )
+
+
+def _stack_rgl(scene):
+    from ..materials.rgl import empty_rgl_tables, stack_rgl_tables
+
+    if not scene._rgl_tables:
+        return empty_rgl_tables()
+    return stack_rgl_tables(scene._rgl_tables.values())

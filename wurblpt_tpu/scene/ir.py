@@ -18,6 +18,8 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
+from ..materials.rgl import RGLTables
+
 
 # Material type codes (replaces virtual Material* dispatch, material.hpp:129-271).
 class MaterialType:
@@ -258,6 +260,9 @@ class SceneArrays(NamedTuple):
     # Hot spots (NEE light list): global prim ids; tri i -> id i, sphere j -> T + j.
     light_prims: jnp.ndarray   # [L] int32
     media: MediumArrays
+    # Measured RGL BRDF table stack (materials.rgl_id indexes axis 0); always
+    # present so SceneArrays stays a uniform pytree (placeholder when unused).
+    rgl: "RGLTables" = None
 
     @property
     def n_tris(self):

@@ -145,3 +145,147 @@ def rtiow(seed: int = 7, n: int = 6) -> Scene:
     scene.take_sphere(SphereObject((4, 1, 0), 1.0, big3))
     scene.set_environment_map(EnvironmentMapConstant(radiance=(0.7, 0.8, 1.0)))
     return scene
+
+
+def mis_test(use_ggx: bool = True) -> Scene:
+    """Veach-style MIS test (wurblpt-mis-test.cpp:109-144): four glossy plates
+    of increasing roughness lit by four spherical lights of decreasing size
+    (equal power, so small lights are brightest).  With BSDF-only or NEE-only
+    sampling some plate/light combinations are extremely noisy; MIS's power
+    heuristic keeps them all low-variance."""
+    from ..scene.builder import LightDiffuse
+
+    scene = Scene()
+    floor = scene.take_material(Lambertian(albedo=(0.3, 0.3, 0.3)))
+    fm, ftf = _quad_to((0.0, -1.0, 0.0), (1.0, 0.0, 0.0), 0.0, half=8.0)
+    scene.take_mesh_instance(MeshInstance(fm, floor, ftf))
+
+    roughnesses = (0.005, 0.02, 0.08, 0.25)
+    for i, r in enumerate(roughnesses):
+        mat = (scene.take_material(GGX(albedo=(0.85, 0.85, 0.85), roughness=r))
+               if use_ggx else
+               scene.take_material(Lambertian(albedo=(0.85, 0.85, 0.85))))
+        mesh = G.generate_quad(2.0, 0.22)
+        tilt = np.deg2rad(55.0 - 9.0 * i)
+        tf = Transformation.make(
+            translation=(0.0, -0.7 + 0.5 * i, -1.2 - 0.45 * i),
+            rotation=quat_from_axis_angle(np.array([1.0, 0.0, 0.0], np.float32),
+                                          -tilt),
+        )
+        scene.take_mesh_instance(MeshInstance(mesh, mat, tf))
+
+    radii = (0.45, 0.16, 0.06, 0.02)
+    xs = (-1.65, -0.55, 0.55, 1.65)
+    for x, rad in zip(xs, radii):
+        radiance = 1.2 * (0.25 / rad) ** 2   # equal power across sizes
+        lm = scene.take_material(LightDiffuse(radiance=(radiance,) * 3))
+        scene.take_sphere(SphereObject((x, 1.3, -2.5), rad, lm), hot_spot=True)
+    return scene
+
+
+def mis_camera():
+    from ..core.transform import from_lookat
+
+    return from_lookat((0.0, 0.9, 3.6), (0.0, -0.1, -1.6)), 42.0
+
+
+def procedural_sky(height: int = 64, sun_dir=(0.4, 0.6, -0.5),
+                   sun_radiance: float = 200.0) -> np.ndarray:
+    """Small procedural HDR sky (gradient + sun disk) as an equirect image,
+    for envmap examples/tests without external HDR assets."""
+    w = 2 * height
+    y, x = np.mgrid[0:height, 0:w]
+    theta = (0.5 - (y + 0.5) / height) * np.pi       # latitude
+    phi = ((x + 0.5) / w * 2.0 - 1.0) * np.pi
+    d = np.stack([np.cos(theta) * np.sin(phi), np.sin(theta),
+                  -np.cos(theta) * np.cos(phi)], -1)
+    sky_t = np.clip(d[..., 1] * 0.5 + 0.5, 0, 1)[..., None]
+    img = (1 - sky_t) * np.array([0.9, 0.7, 0.5]) + sky_t * np.array([0.25, 0.45, 0.9])
+    s = np.asarray(sun_dir, np.float64)
+    s /= np.linalg.norm(s)
+    cos_sun = np.clip((d * s).sum(-1), -1, 1)
+    img = img + (cos_sun > np.cos(np.deg2rad(2.5)))[..., None] * sun_radiance
+    return img.astype(np.float32)
+
+
+def envmap_spheres(cube: bool = False, importance_resolution: int = 64) -> Scene:
+    """Glass / mirror / GGX spheres over a ground plane under an HDR sky
+    (wurblpt-envmap.cpp:60-116), equirect or cube-map parameterization."""
+    from ..scene.builder import EnvironmentMapCube, EnvironmentMapEquiRect
+
+    scene = Scene()
+    ground = scene.take_material(Lambertian(albedo=(0.4, 0.4, 0.4)))
+    gm, gtf = _quad_to((0.0, -0.5, 0.0), (1.0, 0.0, 0.0), 0.0, half=20.0)
+    scene.take_mesh_instance(MeshInstance(gm, ground, gtf))
+    scene.take_sphere(SphereObject((-1.2, 0.0, 0.0), 0.5,
+                                   scene.take_material(Glass(ior=1.5))))
+    scene.take_sphere(SphereObject((0.0, 0.0, 0.0), 0.5,
+                                   scene.take_material(Mirror())))
+    scene.take_sphere(SphereObject((1.2, 0.0, 0.0), 0.5,
+                                   scene.take_material(GGX(albedo=(0.8, 0.6, 0.3),
+                                                           roughness=0.15))))
+    sky = procedural_sky()
+    if cube:
+        faces = _equirect_to_cube_faces(sky, 32)
+        scene.set_environment_map(EnvironmentMapCube(
+            faces=faces, importance_resolution=importance_resolution))
+    else:
+        scene.set_environment_map(EnvironmentMapEquiRect(
+            image=sky, importance_resolution=importance_resolution))
+    return scene
+
+
+def _equirect_to_cube_faces(img: np.ndarray, face_res: int):
+    """Resample an equirect image into 6 cube faces (+x,-x,+y,-y,+z,-z)."""
+    h, w = img.shape[:2]
+    uv = (np.arange(face_res) + 0.5) / face_res * 2.0 - 1.0
+    b, a = np.meshgrid(uv, uv)  # a = row (v), b = col (u)
+    ones = np.ones_like(a)
+    # standard cube-face direction conventions
+    dirs = {
+        0: np.stack([ones, -a, -b], -1),    # +x
+        1: np.stack([-ones, -a, b], -1),    # -x
+        2: np.stack([b, ones, a], -1),      # +y
+        3: np.stack([b, -ones, -a], -1),    # -y
+        4: np.stack([b, -a, ones], -1),     # +z
+        5: np.stack([-b, -a, -ones], -1),   # -z
+    }
+    faces = []
+    for i in range(6):
+        d = dirs[i]
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        theta = np.arcsin(np.clip(d[..., 1], -1, 1))
+        phi = np.arctan2(d[..., 0], -d[..., 2])
+        x = np.clip(((phi / np.pi + 1.0) * 0.5 * w).astype(int), 0, w - 1)
+        y = np.clip(((0.5 - theta / np.pi) * h).astype(int), 0, h - 1)
+        faces.append(img[y, x])
+    return faces
+
+
+def tof_box(room_half: float = 1.2) -> Scene:
+    """AMCW ToF scenario (wurblpt-tof-hcibox.cpp:38-103): a closed box room
+    observed by a camera with a rigidly attached NIR ToF light at the origin."""
+    from ..scene.builder import LightTof
+
+    scene = Scene()
+    white = scene.take_material(Lambertian(albedo=(0.7, 0.7, 0.7)))
+    h = room_half
+    for tr, ax, ang in (
+        ((0, 0, -h), (1, 0, 0), 0.0),               # back wall
+        ((-h, 0, 0), (0, 1, 0), np.pi / 2),          # left
+        ((h, 0, 0), (0, 1, 0), -np.pi / 2),          # right
+        ((0, -h, 0), (1, 0, 0), -np.pi / 2),         # floor
+        ((0, h, 0), (1, 0, 0), np.pi / 2),           # ceiling
+    ):
+        mesh, tf = _quad_to(tr, ax, ang, half=h)
+        scene.take_mesh_instance(MeshInstance(mesh, white, tf))
+    # small diffuse box inside for depth structure
+    box = G.generate_cube(0.25)
+    btf = Transformation.make(translation=(0.3, -h + 0.25, -0.4))
+    scene.take_mesh_instance(MeshInstance(box, white, btf))
+    # ToF illumination unit at the camera position (origin), facing -z
+    tof = scene.take_material(LightTof(radiance_w=8.0, half_angle=np.deg2rad(40)))
+    lm = G.generate_disk(0.02)
+    ltf = Transformation.make(translation=(0.0, 0.0, h - 0.01))
+    scene.take_mesh_instance(MeshInstance(lm, tof, ltf), hot_spot=True)
+    return scene
