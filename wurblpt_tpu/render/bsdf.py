@@ -281,12 +281,18 @@ def bsdf_sample(
     ray_ior,
     u4,
     u_lobe,
+    u_chan=None,
 ) -> ScatterSample:
     """Sample the outgoing lobe at each hit (reference Material::scatter).
 
-    u4: [N,4] uniforms for direction sampling; u_lobe: [N] for discrete picks.
-    Discrete picks are detached (stop_gradient) so gradients flow through the
-    continuous eval only.
+    u4: [N,4] uniforms for direction sampling; u_lobe and u_chan: independent
+    uniforms for discrete picks — glass uses u_chan for the dispersion channel
+    and u_lobe for reflect/refract; ModPhong uses u_lobe for opacity
+    pass-through and u_chan for the diffuse/specular lobe pick. The reference
+    draws a fresh prng value per decision (material_glass.hpp:97-141,
+    material_modphong.hpp:213-261); deriving both from one uniform correlates
+    them and biases renders. Discrete picks are detached (stop_gradient) so
+    gradients flow through the continuous eval only.
     """
     mt = scene.materials
     typ = mt.typ[hr.mat]
@@ -303,6 +309,9 @@ def bsdf_sample(
     albedo = material_albedo(scene, hr.mat, hr.uv)
     u2 = jax.lax.stop_gradient(u4[..., 0:2])
     u_lobe = jax.lax.stop_gradient(u_lobe)
+    if u_chan is None:
+        u_chan = jnp.mod(u_lobe * 16.0, 1.0)  # legacy derived fallback
+    u_chan = jax.lax.stop_gradient(u_chan)
 
     # ---- Lambertian ----
     if MaterialType.LAMBERTIAN in static.mat_types:
@@ -351,7 +360,7 @@ def bsdf_sample(
             | (jnp.abs(mat_ior[..., 2] - mat_ior[..., 3]) > 1e-6)
         )
         # Random channel pick x4 when dispersive (material_glass.hpp:97-106).
-        chan = jnp.clip((u_lobe * 4.0).astype(jnp.int32), 0, 3)
+        chan = jnp.clip((u_chan * 4.0).astype(jnp.int32), 0, 3)
         chan_mask = jax.nn.one_hot(chan, 4, dtype=atten.dtype)
         n_mat = jnp.take_along_axis(mat_ior, chan[..., None], axis=-1)[..., 0]
         n_mat = jnp.where(dispersive, n_mat, mat_ior[..., 0])
@@ -359,7 +368,7 @@ def bsdf_sample(
         n_t = jnp.where(hr.backside, 1.0, n_mat)
         cos_i = jnp.clip(dot(wo, n), 0.0, 1.0)
         fres = fresnel_unpolarized(cos_i, n_i, n_t)
-        reflect_pick = jax.lax.stop_gradient(jnp.mod(u_lobe * 4.0, 1.0)) < fres
+        reflect_pick = u_lobe < fres
         from ..core.vecmath import refract as _refract
 
         refr_dir, tir = _refract(ray_dir, n, n_i / jnp.maximum(n_t, 1e-6))
@@ -391,8 +400,7 @@ def bsdf_sample(
         # Opacity pass-through (material_modphong.hpp:241-261): with prob
         # (1-opacity) continue straight through.
         pass_through = u_lobe > opacity
-        u_relobe = jnp.mod(u_lobe * 16.0, 1.0)  # reuse for lobe pick
-        pick_spec = u_relobe < ps
+        pick_spec = u_chan < ps
         refl_axis = reflect(ray_dir, n)
         d_spec = _sample_power_cosine(refl_axis, shininess, u2)
         d_diff = sampler.cosine_direction(n, u2)

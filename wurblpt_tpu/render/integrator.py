@@ -262,7 +262,8 @@ def trace_paths(
         # ---- 5. scatter (wurblpt.hpp:157) ---------------------------------
         u4 = uniform4(pixel_id, sample_id, k, Salt.BSDF)
         u_lobe = uniform1(pixel_id, sample_id, k, Salt.BSDF_LOBE)
-        sr = bsdf_sample(scene, static, hr, st.d, st.ior, u4, u_lobe)
+        u_chan = uniform1(pixel_id, sample_id, k, Salt.BSDF_CHANNEL)
+        sr = bsdf_sample(scene, static, hr, st.d, st.ior, u4, u_lobe, u_chan)
         is_random = hit & (sr.kind == ScatterKind.RANDOM) & (sr.pdf > 0.0)
         is_explicit = hit & (sr.kind == ScatterKind.EXPLICIT)
 

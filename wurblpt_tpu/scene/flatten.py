@@ -145,7 +145,10 @@ def _tex_or_color(val, collector: _TextureCollector, default=(0.0, 0.0, 0.0)):
 
 
 def _flatten_materials(materials, collector: _TextureCollector, rgl_names) -> MaterialTable:
-    m = len(materials)
+    # Envmap-only scenes (e.g. tools/wurblpt-360-to-conventional.cpp:64-87) have
+    # no materials; pad one MaterialType.NONE row so table gathers stay legal —
+    # nothing matches it, so lanes that somehow land on it are absorbed.
+    m = max(len(materials), 1)
     typ = np.zeros((m,), _i32)
     flags = np.zeros((m,), _i32)
     albedo = np.zeros((m, 4), _f32)
