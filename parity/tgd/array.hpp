@@ -106,6 +106,7 @@ public:
             n *= d;
         return n;
     }
+    size_t componentSize() const { return typeSize(_type); }
     size_t elementSize() const { return _comps * typeSize(_type); }
     size_t dataSize() const { return elementCount() * elementSize(); }
 
@@ -159,6 +160,17 @@ public:
         return index;
     }
 
+    void* get(size_t e)
+    {
+        return _data->data() + e * elementSize();
+    }
+    const void* get(size_t e) const
+    {
+        return _data->data() + e * elementSize();
+    }
+    void* get(std::initializer_list<size_t> idx) { return get(toIndex(idx)); }
+    const void* get(std::initializer_list<size_t> idx) const { return get(toIndex(idx)); }
+
     template <typename T> T* get(size_t e)
     {
         return reinterpret_cast<T*>(_data->data() + e * elementSize());
@@ -209,6 +221,16 @@ public:
     const T* operator[](std::initializer_list<size_t> idx) const { return this->template get<T>(toIndex(idx)); }
 
     void set(size_t e, std::initializer_list<T> vals) { ArrayContainer::template set<T>(e, vals); }
+    void set(std::initializer_list<size_t> idx, std::initializer_list<T> vals)
+    {
+        ArrayContainer::template set<T>(toIndex(idx), vals);
+    }
+    // Re-expose the base's explicit-template form (a.set<float>(i, {...}));
+    // the non-template overloads above would otherwise hide it.
+    template <typename U> void set(size_t e, std::initializer_list<U> vals)
+    {
+        ArrayContainer::template set<U>(e, vals);
+    }
 };
 
 } // namespace TGD

@@ -19,6 +19,7 @@ from ..scene.builder import (
     Glass,
     Lambertian,
     LightDiffuse,
+    Mesh,
     MeshInstance,
     Mirror,
     Scene,
@@ -92,6 +93,50 @@ def cornell_box(
         glass = scene.take_material(Glass(ior=1.5))
         scene.take_sphere(SphereObject((0.38, -0.7, 0.32), 0.3, glass))
     return scene
+
+
+def cornell_box_ref(
+    short_object: str = "box",   # box | sphere | glass_sphere
+    tall_box: str = "white",     # white | metal
+) -> Scene:
+    """EXACT replica of the reference Cornell box (wurblpt-cornellbox.cpp:43-229
+    default config): same vertices, shading normals, albedos, radiance-4 light.
+    Used by the parity tests and bench config 1 so both renderers see
+    bit-identical scene definitions (see utils/cornell_data.py)."""
+    from . import cornell_data as CD
+
+    scene = Scene()
+    mats = {
+        name: scene.take_material(Lambertian(albedo=CD.ALBEDO[name]), name)
+        for name in ("white", "red", "green")
+    }
+    mats["tall"] = (mats["white"] if tall_box == "white"
+                    else scene.take_material(GGX(albedo=(1.0, 1.0, 1.0), roughness=0.04)))
+    mats["short"] = (mats["white"] if short_object == "box"
+                     else scene.take_material(Glass(ior=1.5)))
+    light = scene.take_material(LightDiffuse(radiance=CD.LIGHT_RADIANCE), "light")
+
+    for pos, nrm, mat in CD.QUADS:
+        if mat == "short" and short_object != "box":
+            continue
+        mesh = Mesh(np.array(pos, np.float32), np.array(nrm, np.float32), CD.UV,
+                    indices=CD.IDX)
+        scene.take_mesh_instance(MeshInstance(mesh, mats[mat]))
+    if short_object in ("sphere", "glass_sphere"):
+        m = mats["white"] if short_object == "sphere" else mats["short"]
+        scene.take_sphere(SphereObject((0.33, 0.3, 0.37), 0.3, m))
+    lpos, lnrm = CD.LIGHT_QUAD
+    lmesh = Mesh(np.array(lpos, np.float32), np.array(lnrm, np.float32),
+                 CD.UV_LIGHT, indices=CD.IDX)
+    scene.take_mesh_instance(MeshInstance(lmesh, light), hot_spot=True)
+    return scene
+
+
+def cornell_ref_camera():
+    """Reference viewpoint (wurblpt-cornellbox.cpp:252-256)."""
+    from ..core.transform import from_lookat
+
+    return from_lookat((0.0, 1.0, 3.2), (0.0, 1.0, -1.0)), 50.0
 
 
 def cornell_camera():
