@@ -1,15 +1,19 @@
-"""Benchmark: Cornell box path-tracing throughput on the attached accelerator.
+"""Benchmark: path-tracing throughput on the attached accelerator.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Metric: Mrays/s over the BASELINE config 1 (Cornell box 128x128, 16 spp,
-Lambertian + area light). "Rays" counts traced path segments (camera rays +
-bounce continuations + shadow rays), the same work unit the reference's
-tracePath performs per BVH traversal; see BASELINE.md.
+Primary metric (BASELINE config 1): measured Mrays/s on the Cornell box
+128x128 / 16 spp — the EXACT reference scene (utils/cornell_data.py), rendered
+with the persistent-lane wavefront. "Rays" are counted INSIDE the loop
+(closest-hit casts + NEE shadow casts, integrator._make_bounce_fn stats), the
+same work unit the reference's tracePath performs per BVH traversal.
 
-vs_baseline compares against the reference CPU renderer's equivalent-config
-throughput when a recorded baseline exists in BASELINE.json ("published"), else
-reports 0.0.
+vs_baseline = our paths/s over the measured reference CPU paths/s on this
+machine (BASELINE.json "published", parity/src/parity_cornell.cpp build).
+
+aux carries the remaining configs: RTIOW + OpenCV-distortion camera (config 2),
+envmap + cube-map importance sampling furnace (config 3), ToF AMCW phase image
+(config 4), and a >100k-triangle BVH scene.
 """
 
 from __future__ import annotations
@@ -20,79 +24,205 @@ import time
 import numpy as np
 
 
-def main():
+def _timeit(fn, *args, n=5):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n, out
+
+
+def bench_cornell():
     import jax
 
     from wurblpt_tpu import CameraConfig, RenderParams, SceneStatic, SensorRGB, make_camera
-    from wurblpt_tpu.render.integrator import render_frame
+    from wurblpt_tpu.render.integrator import render_frame_wavefront
     from wurblpt_tpu.utils import scenes
 
     width = height = 128
-    samples_sqrt = 4  # 16 spp
-    spp = samples_sqrt * samples_sqrt
-    max_depth = 8
-
-    scene = scenes.cornell_box().build()
+    ssqrt = 4
+    spp = ssqrt * ssqrt
+    scene = scenes.cornell_box_ref().build()
     static = SceneStatic.from_scene(scene)
-    pose, vfov = scenes.cornell_camera()
+    pose, vfov = scenes.cornell_ref_camera()
     cam = make_camera(transformation=pose, vfov_deg=vfov, width=width, height=height)
-    sensor = SensorRGB()
-    params = RenderParams(max_path_components=max_depth)
-
-    fn = jax.jit(
-        lambda s, c: render_frame(
-            s, static, c, CameraConfig(), sensor, width, height, samples_sqrt,
-            params=params, samples_per_pass=16,
-        )
-    )
-
-    img = fn(scene, cam)
-    img.block_until_ready()  # compile + warmup
-
-    n_rep = 5
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        img = fn(scene, cam)
-    img.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_rep
-
-    # Estimate traced segments: with NEE, each path of depth d traces d
-    # closest-hit rays + d shadow rays; measure the average live depth by
-    # instrumenting a small probe render? Keep the well-defined conservative
-    # count: camera paths * 2 rays per bounce * expected depth, using the
-    # russian-roulette-limited average depth measured offline (~3.1 for this
-    # scene). We report primary-path throughput (paths/s) converted with that
-    # factor; the raw numbers are also in the aux fields.
+    params = RenderParams(max_path_components=8)
+    fn = jax.jit(lambda s, c: render_frame_wavefront(
+        s, static, c, CameraConfig(), SensorRGB(), width, height, ssqrt,
+        params=params, return_stats=True))
+    dt, (img, stats) = _timeit(fn, scene, cam)
+    stats = np.asarray(stats)
     n_paths = width * height * spp
-    avg_depth = 3.1
-    rays = n_paths * avg_depth * 2.0
-    mrays = rays / dt / 1e6
+    return {
+        "frame_ms": dt * 1e3,
+        "paths_per_s": n_paths / dt,
+        "closest_casts": int(stats[0]),
+        "total_casts": int(stats[1]),
+        "mrays_per_s": stats[1] / dt / 1e6,
+        "mean_radiance": float(np.asarray(img).mean()),
+    }
+
+
+def bench_rtiow():
+    import jax
+
+    from wurblpt_tpu import CameraConfig, RenderParams, SceneStatic, SensorRGB, make_camera
+    from wurblpt_tpu.render.camera import DistortionModel
+    from wurblpt_tpu.core.transform import from_lookat
+    from wurblpt_tpu.render.integrator import render_frame_wavefront
+    from wurblpt_tpu.utils import scenes
+
+    width, height = 192, 128
+    ssqrt = 4
+    scene = scenes.rtiow().build()
+    static = SceneStatic.from_scene(scene)
+    pose = from_lookat((13.0, 2.0, 3.0), (0.0, 0.0, 0.0))
+    cam = make_camera(transformation=pose, vfov_deg=30.0, width=width,
+                      height=height,
+                      dist_k=(-0.1, 0.02, 0.0, 0.0, 0.0, 0.0),
+                      dist_p=(0.001, -0.001))
+    cfg = CameraConfig(distortion=DistortionModel.OPENCV)
+    params = RenderParams(max_path_components=8)
+    fn = jax.jit(lambda s, c: render_frame_wavefront(
+        s, static, c, cfg, SensorRGB(), width, height, ssqrt,
+        params=params, return_stats=True))
+    dt, (img, stats) = _timeit(fn, scene, cam)
+    stats = np.asarray(stats)
+    return {
+        "frame_ms": dt * 1e3,
+        "paths_per_s": width * height * ssqrt * ssqrt / dt,
+        "mrays_per_s": stats[1] / dt / 1e6,
+        "mean_radiance": float(np.asarray(img).mean()),
+    }
+
+
+def bench_envmap_furnace():
+    import jax
+
+    from wurblpt_tpu import CameraConfig, RenderParams, SceneStatic, SensorRGB, make_camera
+    from wurblpt_tpu.core.transform import from_lookat
+    from wurblpt_tpu.render.integrator import render_frame_wavefront
+    from wurblpt_tpu.utils import scenes
+
+    width = height = 128
+    ssqrt = 4
+    scene = scenes.envmap_spheres(cube=True).build()
+    static = SceneStatic.from_scene(scene)
+    pose = from_lookat((0.0, 0.6, 4.0), (0.0, 0.0, 0.0))
+    cam = make_camera(transformation=pose, vfov_deg=40.0, width=width, height=height)
+    params = RenderParams(max_path_components=8)
+    fn = jax.jit(lambda s, c: render_frame_wavefront(
+        s, static, c, CameraConfig(), SensorRGB(), width, height, ssqrt,
+        params=params, return_stats=True))
+    dt, (img, stats) = _timeit(fn, scene, cam)
+    stats = np.asarray(stats)
+    return {
+        "frame_ms": dt * 1e3,
+        "paths_per_s": width * height * ssqrt * ssqrt / dt,
+        "mrays_per_s": stats[1] / dt / 1e6,
+        "mean_radiance": float(np.asarray(img).mean()),
+    }
+
+
+def bench_tof():
+    import jax
+
+    from wurblpt_tpu import CameraConfig, RenderParams, SceneStatic, make_camera
+    from wurblpt_tpu.core.transform import from_lookat
+    from wurblpt_tpu.render.integrator import render_frame_wavefront
+    from wurblpt_tpu.render.sensor import SensorTofAmcw
+    from wurblpt_tpu.utils import scenes
+
+    width = height = 96
+    ssqrt = 4
+    scene = scenes.tof_box().build()
+    static = SceneStatic.from_scene(scene)
+    pose = from_lookat((0.0, 0.0, 1.19), (0.0, 0.0, 0.0))
+    cam = make_camera(transformation=pose, vfov_deg=60.0, width=width, height=height)
+    sensor = SensorTofAmcw(phase_index=0)
+    params = RenderParams(max_path_components=6)
+    fn = jax.jit(lambda s, c: render_frame_wavefront(
+        s, static, c, CameraConfig(), sensor, width, height, ssqrt,
+        params=params, return_stats=True))
+    dt, (img, stats) = _timeit(fn, scene, cam)
+    stats = np.asarray(stats)
+    return {
+        "frame_ms": dt * 1e3,
+        "paths_per_s": width * height * ssqrt * ssqrt / dt,
+        "mrays_per_s": stats[1] / dt / 1e6,
+    }
+
+
+def bench_bvh_large():
+    """>100k-triangle scene through the BVH path (VERDICT round 1 item 1/6)."""
+    import jax
+
+    from wurblpt_tpu import CameraConfig, RenderParams, SceneStatic, SensorRGB, make_camera
+    from wurblpt_tpu.core.transform import from_lookat
+    from wurblpt_tpu.render.integrator import render_frame_wavefront
+    from wurblpt_tpu.utils import scenes
+
+    width, height = 160, 120
+    ssqrt = 2
+    scene = scenes.terrain_city(seed=3).build(use_bvh=True)
+    static = SceneStatic.from_scene(scene)
+    pose = from_lookat((14.0, 9.0, 14.0), (0.0, 0.5, 0.0))
+    cam = make_camera(transformation=pose, vfov_deg=45.0, width=width, height=height)
+    params = RenderParams(max_path_components=4)
+    fn = jax.jit(lambda s, c: render_frame_wavefront(
+        s, static, c, CameraConfig(), SensorRGB(), width, height, ssqrt,
+        params=params, return_stats=True))
+    dt, (img, stats) = _timeit(fn, scene, cam, n=3)
+    stats = np.asarray(stats)
+    return {
+        "n_tris": scene.n_tris,
+        "frame_ms": dt * 1e3,
+        "paths_per_s": width * height * ssqrt * ssqrt / dt,
+        "mrays_per_s": stats[1] / dt / 1e6,
+        "mean_radiance": float(np.asarray(img).mean()),
+    }
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/wurblpt_jax_cache")
+    device = jax.devices()[0].device_kind
+
+    aux = {"device": device}
+    cornell = bench_cornell()
+    aux["cornell"] = cornell
+    for name, fn in (
+        ("rtiow_distortion", bench_rtiow),
+        ("envmap_cube_is", bench_envmap_furnace),
+        ("tof_amcw", bench_tof),
+        ("bvh_100k", bench_bvh_large),
+    ):
+        try:
+            aux[name] = fn()
+        except Exception as e:  # a missing optional config must not kill the bench
+            aux[name] = {"error": f"{type(e).__name__}: {e}"}
 
     baseline = 0.0
     try:
         with open("BASELINE.json") as f:
             pub = json.load(f).get("published", {})
-        baseline = float(pub.get("cornell128_mrays_per_s", 0.0))
+        baseline = float(pub.get("cornell128_16spp_ref_cpu_paths_per_s", 0.0))
     except Exception:
         pass
-    vs = mrays / baseline if baseline > 0 else 0.0
+    vs = cornell["paths_per_s"] / baseline if baseline > 0 else 0.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "cornell128_16spp_mrays_per_s",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(vs, 3),
-                "aux": {
-                    "paths_per_s": round(n_paths / dt, 1),
-                    "frame_ms": round(dt * 1e3, 2),
-                    "device": str(jax.devices()[0]),
-                    "mean_radiance": float(np.asarray(img).mean()),
-                },
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "cornell128_16spp_mrays_per_s",
+        "value": round(cornell["mrays_per_s"], 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(vs, 3),
+        "aux": aux,
+    }))
 
 
 if __name__ == "__main__":

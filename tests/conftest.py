@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is NOT honored in this environment (the axon TPU plugin
+# wins platform selection regardless); the config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: the wavefront loop is expensive to compile; cache
 # across test runs.

@@ -111,7 +111,15 @@ def test_pdf_is_a_density():
     mid = jnp.zeros((n,), jnp.int32)
     _, pdf = rgl.rgl_eval(tables, mid, wi, wo)
     integral = float(np.mean(np.asarray(pdf)) * 2.0 * np.pi)
-    assert 0.7 < integral < 1.3, integral
+    # The warp can land below the horizon (rejected, pdf contribution lost), so
+    # the hemisphere mass equals the ACCEPTANCE rate of rgl_sample, not 1
+    # (powitacq_rgb.inl sample(): invalid wo -> zero). Compare against it.
+    rngs = np.random.default_rng(17)
+    u2 = jnp.asarray(rngs.uniform(0.001, 0.999, (n, 2)).astype(np.float32))
+    _, _, _, ok = rgl.rgl_sample(tables, mid, wi, u2)
+    accept = float(np.asarray(ok).mean())
+    assert abs(integral - accept) < 0.12, (integral, accept)
+    assert 0.4 < integral <= 1.05, integral
 
 
 def test_spectral_dataset_integration():

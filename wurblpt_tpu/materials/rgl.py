@@ -129,7 +129,10 @@ def _spectra_to_rgb4(spectra: np.ndarray, wavelengths: np.ndarray,
     n_norm = float(np.sum(illum * cmf[:, 1]))
     # The reference's integrationFactor multiplies both xyz and N, so it
     # cancels out of xyz * 100/N; only the per-wavelength weights remain.
-    w_xyz = illum[:, None] * cmf * (100.0 / max(n_norm, 1e-30))          # [S', 3]
+    # Its xyz scale is Y in [0,100] with a compensating 0.01 inside
+    # color.hpp:255-262's xyz_to_rgb; our color.xyz_to_rgb uses Y in [0,1],
+    # so the net weight is illum*cmf/N (flat unit spectrum -> Y=1 -> white).
+    w_xyz = illum[:, None] * cmf * (1.0 / max(n_norm, 1e-30))            # [S', 3]
     w_rgb = np.asarray(xyz_to_rgb(jnp.asarray(w_xyz)), np.float64)       # linear map
     rgb = np.einsum("ptshw,sc->ptchw", spectra[:, :, sel].astype(np.float64), w_rgb)
     nir = spectra[:, :, nearest:nearest + 1].astype(np.float64)

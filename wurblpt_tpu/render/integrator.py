@@ -70,7 +70,7 @@ class RenderParams:
 
 
 class _LoopState(NamedTuple):
-    bounce: jnp.ndarray
+    bounce: jnp.ndarray         # [N] per-lane bounce index
     o: jnp.ndarray
     d: jnp.ndarray
     time: jnp.ndarray
@@ -82,6 +82,7 @@ class _LoopState(NamedTuple):
     opt_len: jnp.ndarray
     prev_pdf: jnp.ndarray       # pdf of previous RANDOM bsdf sample (0 if none)
     prev_random: jnp.ndarray    # bool: previous scatter was pdf-sampled
+    stats: jnp.ndarray          # [2] int32: (closest casts, total casts incl. shadow)
 
 
 def _light_emitted_at(scene: SceneArrays, static: SceneStatic, prim, point, toward):
@@ -141,9 +142,6 @@ def trace_paths(
 ):
     """Trace one batch of camera rays to completion; returns acc [N, sensor.n_acc]."""
     n = o.shape[0]
-    env_is = static.env_kind != 0 and static.env_importance
-    has_env = static.env_kind != 0
-    has_lights = static.n_lights > 0
 
     # Per-ray animation frames (the AnimationCache analog, animation.hpp:52-125):
     # ray time is fixed along a path, so all A animations are evaluated once per
@@ -155,8 +153,21 @@ def trace_paths(
     else:
         anim_ctx = None
 
+    # MXU intersector (intersect_mxu): the primitive feature + attribute
+    # matrices are loop-invariant, built ONCE per trace and closed over.
+    from .intersect import mxu_eligible
+
+    if mxu_eligible(scene, anim_ctx):
+        from .intersect_mxu import build_mxu_scene
+
+        ms = build_mxu_scene(scene)
+    else:
+        ms = None
+
+    bounce_fn = _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n)
+
     init = _LoopState(
-        bounce=jnp.zeros((), jnp.int32),
+        bounce=jnp.zeros((n,), jnp.int32),
         o=o,
         d=d,
         time=time,
@@ -168,12 +179,38 @@ def trace_paths(
         opt_len=jnp.zeros((n, 4)),
         prev_pdf=jnp.zeros((n,)),
         prev_random=jnp.zeros((n,), bool),
+        stats=jnp.zeros((2,), jnp.int32),
     )
 
     def cond(st: _LoopState):
-        return (st.bounce < params.max_path_components) & jnp.any(st.active)
+        return (jnp.min(st.bounce) < params.max_path_components) & jnp.any(st.active)
 
-    def cast(o_, d_, tmin_, k, salt_ctx):
+    body = lambda st: bounce_fn(st, pixel_id, sample_id)
+
+    if params.differentiable:
+        # Fixed trip count + per-bounce rematerialization: reverse-mode works
+        # and residual memory stays O(state) instead of O(state * depth).
+        body_ckpt = jax.checkpoint(body)
+        final = jax.lax.fori_loop(
+            0, params.max_path_components, lambda _, st: body_ckpt(st), init
+        )
+    else:
+        final = jax.lax.while_loop(cond, body, init)
+    return final.acc
+
+
+def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
+    """One wavefront bounce as a reusable function of (state, pixel, sample).
+
+    Shared between `trace_paths` (fixed pixel/sample per lane for the whole
+    call) and `trace_wavefront` (persistent lanes whose sample id changes as
+    paths regenerate). `st.bounce` is per-lane.
+    """
+    env_is = static.env_kind != 0 and static.env_importance
+    has_env = static.env_kind != 0
+    has_lights = static.n_lights > 0
+
+    def cast(o_, d_, tmin_, pixel_id, sample_id, k, salt_ctx):
         """Closest hit incl. stochastic medium scattering (media.py).
 
         Returns (t, prim, u, v, med_mask, med_mat); medium-scatter lanes get
@@ -181,7 +218,7 @@ def trace_paths(
         occluders (wurblpt.hpp:203-217 semantics with media in the BVH).
         """
         t, prim, uu, vv = scene_raw_hit(
-            scene, o_, d_, tmin_, jnp.full((n,), BIG), anim_ctx=anim_ctx
+            scene, o_, d_, tmin_, jnp.full((n,), BIG), anim_ctx=anim_ctx, ms=ms
         )
         if static.has_media:
             return apply_media(
@@ -191,10 +228,11 @@ def trace_paths(
         zb = jnp.zeros(t.shape, bool)
         return t, prim, uu, vv, zb, jnp.zeros(t.shape, jnp.int32)
 
-    def body(st: _LoopState) -> _LoopState:
+    def body(st: _LoopState, pixel_id, sample_id) -> _LoopState:
         k = st.bounce
         t, prim, u, v, med_mask, med_mat = cast(
-            st.o, st.d, jnp.full((n,), params.min_hit_distance), k, 0
+            st.o, st.d, jnp.full((n,), params.min_hit_distance),
+            pixel_id, sample_id, k, 0
         )
         hit = (prim >= 0) & st.active
         miss = (~(prim >= 0)) & st.active
@@ -212,7 +250,7 @@ def trace_paths(
                 w_env = jnp.ones((n,))
             ev = SensorEvent(
                 radiance=st.throughput * L_env * w_env[..., None],
-                path_component=jnp.full((n,), k),
+                path_component=k,
                 geom_path_length=st.geom_len,
                 optical_path_length=st.opt_len,
                 distance_to_light=jnp.zeros((n,)),
@@ -220,7 +258,7 @@ def trace_paths(
             )
             acc = sensor.accumulate(acc, ev)
 
-        hr = assemble_hit(scene, st.o, st.d, t, prim, u, v, anim_ctx=anim_ctx)
+        hr = assemble_hit(scene, st.o, st.d, t, prim, u, v, anim_ctx=anim_ctx, ms=ms)
         # Normal mapping (material.hpp:195-228): perturb the shading frame
         # before any scatter/eval; compiled out when no normal maps exist.
         hr = apply_normal_map(scene, static, hr)
@@ -251,7 +289,7 @@ def trace_paths(
             w_emit = jnp.ones((n,))
         ev = SensorEvent(
             radiance=st.throughput * e * w_emit[..., None],
-            path_component=jnp.full((n,), k),
+            path_component=k,
             geom_path_length=geom_len,
             optical_path_length=opt_len,
             distance_to_light=t,
@@ -276,7 +314,8 @@ def trace_paths(
             # visibility + blocker identity check (wurblpt.hpp:203-217);
             # media block shadow rays stochastically (salt_ctx=1).
             st_t, st_prim, _, _, _, _ = cast(
-                hr.position, ldir, jnp.full((n,), params.min_hit_distance), k, 1
+                hr.position, ldir, jnp.full((n,), params.min_hit_distance),
+                pixel_id, sample_id, k, 1
             )
             visible = st_prim == lprim
             Le = _light_emitted_at(
@@ -297,7 +336,7 @@ def trace_paths(
             )
             ev = SensorEvent(
                 radiance=contrib,
-                path_component=jnp.full((n,), k),
+                path_component=k,
                 geom_path_length=geom_len + st_t,
                 optical_path_length=opt_len + st_t[..., None] * st.ior,
                 distance_to_light=st_t,
@@ -311,7 +350,8 @@ def trace_paths(
             edir, epdf = env_sample(scene.envmap, ue)
             f_e, pdf_be = bsdf_eval(scene, static, hr, st.d, edir)
             et, eprim, _, _, _, _ = cast(
-                hr.position, edir, jnp.full((n,), params.min_hit_distance), k, 2
+                hr.position, edir, jnp.full((n,), params.min_hit_distance),
+                pixel_id, sample_id, k, 2
             )
             unoccluded = eprim < 0
             L_e = env_radiance(scene.envmap, edir)
@@ -320,7 +360,7 @@ def trace_paths(
             ok_e = is_random & unoccluded & (epdf > 1e-12)
             ev = SensorEvent(
                 radiance=st.throughput * f_e * L_e * (w_e / jnp.maximum(epdf_d, 1e-12))[..., None],
-                path_component=jnp.full((n,), k),
+                path_component=k,
                 geom_path_length=geom_len,
                 optical_path_length=opt_len,
                 distance_to_light=jnp.zeros((n,)),
@@ -351,31 +391,201 @@ def trace_paths(
         )
         alive = cont & ~killed & (jnp.max(new_throughput, axis=-1) > 0.0)
 
+        # Ray counters (honest Mrays/s accounting, bench.py): one closest cast
+        # per active lane; one shadow cast per NEE branch taken per RANDOM lane.
+        n_closest = jnp.sum(st.active.astype(jnp.int32))
+        n_shadow = jnp.zeros((), jnp.int32)
+        if has_lights:
+            n_shadow = n_shadow + jnp.sum(is_random.astype(jnp.int32))
+        if env_is:
+            n_shadow = n_shadow + jnp.sum(is_random.astype(jnp.int32))
+        stats = st.stats + jnp.stack([n_closest, n_closest + n_shadow])
+
         return _LoopState(
-            bounce=k + 1,
+            bounce=jnp.where(st.active, k + 1, k),
             o=jnp.where(hit[..., None], hr.position, st.o),
             d=jnp.where(cont[..., None], sr.direction, st.d),
             time=st.time,
             ior=jnp.where(cont[..., None], sr.ior, st.ior),
             throughput=jnp.where(cont[..., None], new_throughput, st.throughput),
-            active=st.active & alive,
+            active=st.active & alive & (k + 1 < params.max_path_components),
             acc=acc,
             geom_len=geom_len,
             opt_len=opt_len,
             prev_pdf=jnp.where(is_random, sr.pdf, 0.0),
             prev_random=is_random,
+            stats=stats,
         )
 
-    if params.differentiable:
-        # Fixed trip count + per-bounce rematerialization: reverse-mode works
-        # and residual memory stays O(state) instead of O(state * depth).
-        body_ckpt = jax.checkpoint(body)
-        final = jax.lax.fori_loop(
-            0, params.max_path_components, lambda _, st: body_ckpt(st), init
-        )
+    return body
+
+
+# ---------------------------------------------------------------------------
+# Persistent-lane wavefront renderer (regeneration; the fast inference path)
+# ---------------------------------------------------------------------------
+
+def render_frame_wavefront(
+    scene: SceneArrays,
+    static: SceneStatic,
+    cam: CameraParams,
+    cam_cfg: CameraConfig,
+    sensor,
+    width: int,
+    height: int,
+    samples_sqrt: int,
+    t0: float = 0.0,
+    t1: float = 0.0,
+    params: RenderParams = RenderParams(),
+    max_lanes: int = 131072,
+    return_stats: bool = False,
+):
+    """Render a frame with PERSISTENT lanes: each lane owns one pixel (and a
+    fixed subset of its samples) and traces those paths SEQUENTIALLY — the
+    moment a path dies (miss/absorb/Russian roulette) the lane immediately
+    starts its pixel's next sample at bounce 0.
+
+    This is the TPU answer to wavefront divergence (SURVEY.md section 5.7,
+    VERDICT round 1 item 1): occupancy stays near 100% for the whole frame
+    instead of decaying with bounce depth, with NO scatters, sorts, or
+    compaction — deposits are conflict-free by construction because the
+    lane-to-pixel map is static, and the counter-based RNG (keyed on pixel and
+    sample ids, not lanes) keeps the estimator identical to `render_frame`.
+
+    Pixel blocks of `B` pixels x `m` sample-lanes (B*m <= max_lanes) run
+    sequentially under an outer `fori_loop` for frames bigger than the lane
+    budget. Inference-only (while_loop); training uses `render_frame` with
+    `params.differentiable=True`.
+
+    Returns image [H, W, n_acc]; with `return_stats` also a [2] int32 vector
+    (closest-hit casts, total casts incl. NEE shadow rays) for honest Mrays/s.
+    """
+    if static.has_anim and t0 != t1:
+        # Motion blur re-samples ray time per path; the per-trace AnimCtx
+        # tables would go stale across regenerations. Use the pass renderer.
+        img = render_frame(scene, static, cam, cam_cfg, sensor, width, height,
+                           samples_sqrt, t0, t1, params)
+        if return_stats:
+            return img, jnp.zeros((2,), jnp.int32)
+        return img
+    spp = samples_sqrt * samples_sqrt
+    n_pix = width * height
+    if n_pix >= max_lanes:
+        B, m = max_lanes, 1
     else:
-        final = jax.lax.while_loop(cond, body, init)
-    return final.acc
+        B = n_pix
+        m = 1
+        for c in range(min(spp, max(max_lanes // n_pix, 1)), 0, -1):
+            if spp % c == 0:
+                m = c
+                break
+    L = B * m
+    P = spp // m
+    n_blocks = -(-n_pix // B)
+
+    if static.has_anim:
+        from ..scene.animation import make_anim_ctx
+
+        anim_ctx = make_anim_ctx(scene.anims, jnp.full((L,), jnp.float32(t0)))
+    else:
+        anim_ctx = None
+    from .intersect import mxu_eligible
+
+    if mxu_eligible(scene, anim_ctx):
+        from .intersect_mxu import build_mxu_scene
+
+        ms = build_mxu_scene(scene)
+    else:
+        ms = None
+    bounce_fn = _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, L)
+
+    lane = jnp.arange(L, dtype=jnp.int32)
+    b_lane = lane % B            # pixel slot within the block
+    j_lane = lane // B           # sample-lane index in [0, m)
+    t0f, t1f = jnp.float32(t0), jnp.float32(t1)
+
+    def run_block(blk, carry):
+        img_acc, stats_acc = carry
+        pix0 = blk * B
+        p_lane = pix0 + b_lane
+        valid = p_lane < n_pix
+        p_safe = jnp.minimum(p_lane, n_pix - 1)
+        px = (p_safe % width).astype(jnp.float32)
+        py = (p_safe // width).astype(jnp.float32)
+
+        init_ls = _LoopState(
+            bounce=jnp.zeros((L,), jnp.int32),
+            o=jnp.zeros((L, 3)),
+            d=jnp.concatenate([jnp.zeros((L, 2)), jnp.ones((L, 1))], -1),
+            time=jnp.full((L,), t0f),
+            ior=jnp.ones((L, 4)),
+            throughput=jnp.zeros((L, 4)),
+            active=jnp.zeros((L,), bool),
+            acc=jnp.zeros((L, sensor.n_acc)),
+            geom_len=jnp.zeros((L,)),
+            opt_len=jnp.zeros((L, 4)),
+            prev_pdf=jnp.zeros((L,)),
+            prev_random=jnp.zeros((L,), bool),
+            stats=jnp.zeros((2,), jnp.int32),
+        )
+        init = (init_ls, jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32))
+
+        def cond(carry):
+            ls, sample, k_next = carry
+            return jnp.any(ls.active) | jnp.any((k_next < P) & valid)
+
+        def step(carry):
+            ls, sample, k_next = carry
+            # --- regenerate dead lanes with their pixel's next sample -------
+            need = (~ls.active) & (k_next < P) & valid
+            s_new = j_lane + k_next * m            # global sample id in [0, spp)
+            s = jnp.where(need, s_new, sample)
+            si = (s_new % samples_sqrt).astype(jnp.float32)
+            sj = (s_new // samples_sqrt).astype(jnp.float32)
+            uj = uniform2(p_lane, s_new, 0, Salt.PIXEL_JITTER)
+            if params.randomize_ray_over_pixel:
+                jx = (si + uj[..., 0]) / samples_sqrt
+                jy = (sj + uj[..., 1]) / samples_sqrt
+            else:
+                jx = jnp.full((L,), 0.5)
+                jy = jnp.full((L,), 0.5)
+            pxy = jnp.stack([px + jx, py + jy], axis=-1)
+            u_time = uniform1(p_lane, s_new, 0, Salt.TIME)
+            u_lens = uniform2(p_lane, s_new, 0, Salt.LENS)
+            o, d, tme = camera_rays(
+                cam, cam_cfg, pxy, width, height, t0f, t1f, u_time, u_lens
+            )
+            sel = need[:, None]
+            ls = ls._replace(
+                bounce=jnp.where(need, 0, ls.bounce),
+                o=jnp.where(sel, o, ls.o),
+                d=jnp.where(sel, d, ls.d),
+                time=jnp.where(need, tme, ls.time),
+                ior=jnp.where(sel, 1.0, ls.ior),
+                throughput=jnp.where(sel, 1.0, ls.throughput),
+                active=ls.active | need,
+                geom_len=jnp.where(need, 0.0, ls.geom_len),
+                opt_len=jnp.where(sel, 0.0, ls.opt_len),
+                prev_pdf=jnp.where(need, 0.0, ls.prev_pdf),
+                prev_random=jnp.where(need, False, ls.prev_random),
+            )
+            k_next = k_next + need.astype(jnp.int32)
+            # --- extend every live path by one bounce ------------------------
+            ls = bounce_fn(ls, p_lane, s)
+            return ls, s, k_next
+
+        final_ls, _, _ = jax.lax.while_loop(cond, step, init)
+        block_img = final_ls.acc.reshape(m, B, sensor.n_acc).sum(0)
+        img_acc = jax.lax.dynamic_update_slice(img_acc, block_img, (pix0, 0))
+        return img_acc, stats_acc + final_ls.stats
+
+    img0 = jnp.zeros((n_blocks * B, sensor.n_acc))
+    img, stats = jax.lax.fori_loop(
+        0, n_blocks, lambda b, c: run_block(jnp.int32(b), c), (img0, jnp.zeros((2,), jnp.int32))
+    )
+    img = sensor.finish(img[:n_pix], 1.0 / spp).reshape(height, width, sensor.n_acc)
+    if return_stats:
+        return img, stats
+    return img
 
 
 # ---------------------------------------------------------------------------

@@ -193,12 +193,32 @@ def _closest_spheres(o, d, scene: SceneArrays, t_min, t_max, best, obj_rays=None
     )
 
 
-def scene_raw_hit(scene: SceneArrays, o, d, t_min, t_max, anim_ctx=None):
+def mxu_eligible(scene: SceneArrays, anim_ctx=None) -> bool:
+    """True when the single-matmul MXU intersector (intersect_mxu) applies:
+    static scene, no BVH requested, and a moderate primitive count."""
+    from .intersect_mxu import MXU_MAX_PRIMS
+
+    if scene.bvh is not None or anim_ctx is not None:
+        return False
+    kt = -(-scene.n_tris // 128) * 128 if scene.n_tris else 0
+    ks = -(-scene.n_spheres // 128) * 128 if scene.n_spheres else 0
+    cols = 4 * kt + 2 * ks
+    return 0 < cols <= 4 * MXU_MAX_PRIMS
+
+
+def scene_raw_hit(scene: SceneArrays, o, d, t_min, t_max, anim_ctx=None, ms=None):
     """Closest-hit over all primitives. Returns (t, prim, u, v); prim = -1 on miss.
 
     anim_ctx: scene.animation.AnimCtx for animated scenes — rays are moved to
     each animation's object space once and prims gather their lane's ray.
+    ms: precomputed intersect_mxu.MxuScene — routes the cast through the
+    single-matmul MXU intersector (built once per trace by the integrator).
     """
+    if ms is not None:
+        from .intersect_mxu import mxu_closest_hit
+
+        t, prim, u, v, _ = mxu_closest_hit(ms, o, d, t_min, t_max)
+        return t, prim, u, v
     n = o.shape[0]
     best = (
         jnp.full((n,), BIG),
@@ -239,7 +259,7 @@ def _sphere_uv_tangent(local_pos_unit):
     return jnp.stack([u, v], axis=-1), tangent
 
 
-def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v, anim_ctx=None) -> HitRecord:
+def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v, anim_ctx=None, ms=None) -> HitRecord:
     """Gather per-prim attributes for winning prims and build the HitRecord.
 
     Interpolated normals/texcoords/tangents + Gram-Schmidt, front-face flip and
@@ -273,7 +293,14 @@ def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v, anim_ctx=None) -> HitR
         d_obj = jnp.take_along_axis(d_a, aid_win[:, None, None], axis=1)[:, 0]
         pos_local = o_obj + t[..., None] * d_obj
 
-    if n_tri > 0:
+    if ms is not None and n_tri > 0:
+        # MXU path: one-hot attribute matmul instead of row gathers.
+        from .intersect_mxu import mxu_tri_attrs
+
+        k_ids = jax.lax.broadcasted_iota(jnp.int32, (prim.shape[0], ms.kt), 1)
+        onehot = (k_ids == prim[:, None]) & is_tri[:, None]
+        n_interp, gn, uv_tri, tan_tri, mat_tri, _, _ = mxu_tri_attrs(ms, onehot, u, v)
+    elif n_tri > 0:
         ti = jnp.clip(prim_safe, 0, n_tri - 1)
         T = scene.tris
         w = 1.0 - u - v

@@ -307,6 +307,76 @@ def _equirect_to_cube_faces(img: np.ndarray, face_res: int):
     return faces
 
 
+def terrain_city(seed: int = 3, terrain_res: int = 192, n_buildings: int = 220,
+                 sphere_slices: int = 24) -> Scene:
+    """Procedural >100k-triangle scene: fBm terrain + box "buildings" + a few
+    tessellated spheres under a sun/sky envmap. Stands in for the Sponza-class
+    OBJ scenes (wurblpt-sponza.cpp:73-143) to exercise import-scale geometry,
+    the SAH BVH build, and BVH-path traversal throughput at benchmark scale.
+    """
+    from ..scene.builder import EnvironmentMapEquiRect
+
+    rs = np.random.RandomState(seed)
+    scene = Scene()
+    ground = scene.take_material(Lambertian(albedo=(0.35, 0.4, 0.3)))
+
+    # fBm heightfield terrain: (res-1)^2 * 2 triangles (192 -> 72962 tris)
+    phases = [(rs.uniform(0, 2 * np.pi), rs.uniform(0, 2 * np.pi))
+              for _ in range(4)]
+
+    def fbm(x, z):
+        out = np.zeros_like(np.asarray(x, np.float32))
+        for octave, (px, pz) in enumerate(phases):
+            f = 0.15 * (2.0 ** octave)
+            a = 1.2 * (0.5 ** octave)
+            out = out + a * np.sin(f * x + px) * np.cos(f * z + pz)
+        return out
+
+    res = terrain_res
+    xs = np.linspace(-20.0, 20.0, res, dtype=np.float32)
+    zs = np.linspace(-20.0, 20.0, res, dtype=np.float32)
+    xx, zz = np.meshgrid(xs, zs, indexing="ij")
+    h = fbm(xx, zz)
+    pos = np.stack([xx, h, zz], -1).reshape(-1, 3)
+    idx = []
+    for i in range(res - 1):
+        a0 = i * res + np.arange(res - 1)
+        idx.append(np.stack([a0, a0 + 1, a0 + res], -1))
+        idx.append(np.stack([a0 + 1, a0 + res + 1, a0 + res], -1))
+    idx = np.concatenate(idx, 0).astype(np.int32)
+    uv = np.stack([(xx + 20.0) / 40.0, (zz + 20.0) / 40.0], -1).reshape(-1, 2)
+    terrain = Mesh(pos, None, uv.astype(np.float32), indices=idx)
+    scene.take_mesh_instance(MeshInstance(terrain, ground))
+
+    # box buildings (12 tris each)
+    cube = G.generate_cube(0.5)
+    for _ in range(n_buildings):
+        bx, bz = rs.uniform(-18, 18, 2)
+        bh = rs.uniform(0.5, 3.0)
+        mat = scene.take_material(Lambertian(albedo=tuple(0.3 + 0.5 * rs.rand(3))))
+        tf = Transformation.make(
+            translation=(bx, float(fbm(bx, bz)) + bh / 2, bz),
+            rotation=quat_from_axis_angle((0, 1, 0), rs.uniform(0, np.pi)),
+            scale=(rs.uniform(0.4, 1.5), bh, rs.uniform(0.4, 1.5)),
+        )
+        scene.take_mesh_instance(MeshInstance(cube, mat, tf))
+
+    # tessellated spheres: ~2*slices^2 tris each
+    for i in range(24):
+        sx, sz = rs.uniform(-15, 15, 2)
+        mat = (scene.take_material(GGX(albedo=(0.8, 0.7, 0.6),
+                                       roughness=0.1 + 0.2 * rs.rand()))
+               if i % 3 else scene.take_material(Mirror()))
+        mesh = G.generate_sphere(1.0, slices=sphere_slices, stacks=sphere_slices)
+        tf = Transformation.make(translation=(sx, 2.0 + rs.rand(), sz),
+                                 scale=(0.8, 0.8, 0.8))
+        scene.take_mesh_instance(MeshInstance(mesh, mat, tf))
+
+    scene.set_environment_map(EnvironmentMapEquiRect(image=procedural_sky(),
+                                                     importance_resolution=32))
+    return scene
+
+
 def tof_box(room_half: float = 1.2) -> Scene:
     """AMCW ToF scenario (wurblpt-tof-hcibox.cpp:38-103): a closed box room
     observed by a camera with a rigidly attached NIR ToF light at the origin."""
