@@ -37,8 +37,24 @@ def _intersect_kernel(rfeat_ref, dd_ref, tmm_ref, feat_ref, out_ref,
                       *, kt, ks, n_tris, n_spheres, precision=_HI):
     rfeat = rfeat_ref[:]                      # [TR, 12]
     tr = rfeat.shape[0]
-    prod = jnp.dot(rfeat, feat_ref[:], preferred_element_type=jnp.float32,
-                   precision=precision)       # [TR, C]
+    if precision == "split3":
+        # Manual 3-pass split-float product: f32 = hi(bf16) + lo(bf16) on both
+        # operands, drop the lo*lo term. ~f32 accuracy at half the MXU passes
+        # of HIGHEST (Mosaic does not support Precision.HIGH).
+        feat = feat_ref[:]
+        r_hi = rfeat.astype(jnp.bfloat16)
+        r_lo = (rfeat - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        f_hi = feat.astype(jnp.bfloat16)
+        f_lo = (feat - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dflt = jax.lax.Precision.DEFAULT
+        prod = (
+            jnp.dot(r_hi, f_hi, preferred_element_type=jnp.float32, precision=dflt)
+            + jnp.dot(r_hi, f_lo, preferred_element_type=jnp.float32, precision=dflt)
+            + jnp.dot(r_lo, f_hi, preferred_element_type=jnp.float32, precision=dflt)
+        )
+    else:
+        prod = jnp.dot(rfeat, feat_ref[:], preferred_element_type=jnp.float32,
+                       precision=precision)   # [TR, C]
 
     t_min = tmm_ref[:, 0][:, None]            # [TR, 1]
     t_max = tmm_ref[:, 1][:, None]
@@ -126,7 +142,7 @@ def pallas_closest_hit_packed(rfeat, dd, tmm, feat, *, kt, ks, n_tris,
         dd = jnp.concatenate([dd, jnp.ones((pad, 1), dd.dtype)], 0)
         tmm = jnp.concatenate([tmm, jnp.zeros((pad, 2), tmm.dtype)], 0)
 
-    prec = {"highest": jax.lax.Precision.HIGHEST, "high": jax.lax.Precision.HIGH,
+    prec = {"highest": jax.lax.Precision.HIGHEST, "split3": "split3",
             "default": jax.lax.Precision.DEFAULT}[precision]
     kern = functools.partial(_intersect_kernel, kt=kt, ks=ks, n_tris=n_tris,
                              n_spheres=n_spheres, precision=prec)

@@ -24,6 +24,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.vecmath import safe_sqrt
+
 from ..scene.ir import SceneArrays
 
 BIG = jnp.float32(3.0e37)
@@ -112,7 +114,7 @@ def _leaf_intersect(scene: SceneArrays, o, d, t_min, pids, best, obj_rays=None):
         half_b = jnp.sum(oc * dx, axis=-1)
         c = jnp.sum(oc * oc, axis=-1) - radius * radius
         disc = half_b * half_b - a * c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sq = safe_sqrt(disc)
         q = -(half_b + jnp.sign(half_b) * sq)
         s0 = q / jnp.maximum(a, 1e-20)
         s1 = c / jnp.where(jnp.abs(q) > 1e-20, q, 1.0)

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core.vecmath import safe_sqrt
+
 
 def schlick_r0(n_i, n_t):
     """Normal-incidence reflectance from refractive indices."""
@@ -26,7 +28,7 @@ def fresnel_unpolarized(cos_i, n_i, n_t):
     eta = n_i / n_t
     sin2_t = eta * eta * (1.0 - cos_i * cos_i)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = safe_sqrt(1.0 - sin2_t)
     r_s = (n_i * cos_i - n_t * cos_t) / jnp.maximum(n_i * cos_i + n_t * cos_t, 1e-12)
     r_p = (n_i * cos_t - n_t * cos_i) / jnp.maximum(n_i * cos_t + n_t * cos_i, 1e-12)
     f = 0.5 * (r_s * r_s + r_p * r_p)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .onb import onb_from_normal, to_world
-from .vecmath import normalize
+from .vecmath import normalize, safe_sqrt
 
 _PI = jnp.pi
 
@@ -35,7 +35,7 @@ def in_unit_disk(u):
 def on_unit_sphere(u):
     """Uniform direction on the unit sphere from u[...,2]."""
     z = 1.0 - 2.0 * u[..., 0]
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     phi = 2.0 * _PI * u[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -43,14 +43,14 @@ def on_unit_sphere(u):
 def on_unit_hemisphere(u):
     """Uniform direction on the +z hemisphere from u[...,2]."""
     z = u[..., 0]
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     phi = 2.0 * _PI * u[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
 
 def in_triangle(u):
     """Uniform barycentric (b1, b2) in a triangle (sqrt warp)."""
-    su = jnp.sqrt(jnp.maximum(u[..., 0], 0.0))
+    su = safe_sqrt(u[..., 0])
     b1 = 1.0 - su
     b2 = u[..., 1] * su
     return jnp.stack([b1, b2], axis=-1)
@@ -59,7 +59,7 @@ def in_triangle(u):
 def cosine_hemisphere_local(u):
     """Cosine-weighted direction around local +z; pdf = cos(theta)/pi."""
     d = in_unit_disk(u)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - d[..., 0] ** 2 - d[..., 1] ** 2))
+    z = safe_sqrt(1.0 - d[..., 0] ** 2 - d[..., 1] ** 2)
     return jnp.stack([d[..., 0], d[..., 1], z], axis=-1)
 
 
@@ -75,7 +75,7 @@ def cone_direction_local(cos_theta_max, u):
     pdf = 1 / (2 pi (1 - cos_theta_max)) over solid angle (sampler.hpp toSphere).
     """
     z = 1.0 + u[..., 0] * (cos_theta_max - 1.0)
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     phi = 2.0 * _PI * u[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 

@@ -11,12 +11,22 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def safe_sqrt(x, eps: float = 1e-20):
+    """sqrt clamped away from zero so reverse-mode stays finite.
+
+    d/dx sqrt(max(0, x)) at x <= 0 is inf * 0 = NaN; a single such lane poisons
+    every cotangent it touches (VERDICT r1: camera gradients). The eps floor
+    bounds the derivative at 0.5/sqrt(eps) and changes the forward value by at
+    most 1e-10."""
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
 def dot(a, b, keepdims: bool = False):
     return jnp.sum(a * b, axis=-1, keepdims=keepdims)
 
 
 def length(a, keepdims: bool = False):
-    return jnp.sqrt(jnp.maximum(dot(a, a, keepdims=keepdims), 0.0))
+    return safe_sqrt(dot(a, a, keepdims=keepdims))
 
 
 def normalize(a, eps: float = 1e-20):
@@ -45,7 +55,7 @@ def refract(d, n, eta):
     cos_i = -dot(d, n, keepdims=True)
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = safe_sqrt(1.0 - sin2_t)
     refr = eta * d + (eta * cos_i - cos_t) * n
     refl = reflect(d, n)
     out = jnp.where(tir, refl, normalize(refr))

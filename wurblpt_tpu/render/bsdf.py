@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from ..core import sampler
 from ..core.fresnel import fresnel_schlick, fresnel_unpolarized
 from ..core.onb import onb_from_normal_tangent, to_local, to_world
-from ..core.vecmath import cross, dot, normalize, reflect
+from ..core.vecmath import cross, dot, normalize, reflect, safe_sqrt
 from ..scene.ir import MaterialFlags, MaterialType, SceneArrays
 from .intersect import HitRecord
 from .texture import material_albedo, material_emissive
@@ -106,7 +106,7 @@ def apply_normal_map(scene: SceneArrays, static: SceneStatic, hr: HitRecord) -> 
     new_n = jnp.where(has_nm[..., None], mapped, hr.normal)
     # Gram-Schmidt the tangent against the perturbed normal.
     tan = hr.tangent - dot(hr.tangent, new_n, keepdims=True) * new_n
-    tlen = jnp.sqrt(jnp.maximum(dot(tan, tan), 0.0))
+    tlen = safe_sqrt(dot(tan, tan))
     new_t = jnp.where(
         (has_nm & (tlen > 1e-8))[..., None],
         tan / jnp.maximum(tlen, 1e-20)[..., None],
@@ -159,16 +159,16 @@ def _ggx_sample_vndf(wo_local, ax, ay, u2):
         jnp.array([1.0, 0.0, 0.0]),
     )
     t2v = cross(vh, t1)
-    r = jnp.sqrt(jnp.maximum(u2[..., 0], 0.0))
+    r = safe_sqrt(u2[..., 0])
     phi = 2.0 * _PI * u2[..., 1]
     p1 = r * jnp.cos(phi)
     p2 = r * jnp.sin(phi)
     s = 0.5 * (1.0 + vh[..., 2])
-    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
+    p2 = (1.0 - s) * safe_sqrt(1.0 - p1 * p1) + s * p2
     nh = (
         p1[..., None] * t1
         + p2[..., None] * t2v
-        + jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))[..., None] * vh
+        + safe_sqrt(1.0 - p1 * p1 - p2 * p2)[..., None] * vh
     )
     h = normalize(
         jnp.stack(
@@ -224,7 +224,7 @@ def _modphong_eval(wo, wd, n, kd, ks, shininess):
 def _sample_power_cosine(axis, exponent, u2):
     """Sample direction ~ cos^s around axis."""
     ct = jnp.power(jnp.maximum(u2[..., 0], 1e-12), 1.0 / (exponent + 1.0))
-    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    st = safe_sqrt(1.0 - ct * ct)
     phi = 2.0 * _PI * u2[..., 1]
     local = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
     from ..core.onb import onb_from_normal

@@ -24,6 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..core.vecmath import safe_sqrt
+
 from ..core.transform import quat_conjugate, quat_rotate
 from ..scene.ir import EnvMapArrays, empty_envmap
 
@@ -39,7 +41,7 @@ def square_to_sphere(uv):
     """Map [0,1]^2 to the unit sphere, equal-area. y is 'up' (polar axis)."""
     phi = _TWO_PI * uv[..., 0]
     y = 2.0 * uv[..., 1] - 1.0
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - y * y))
+    r = safe_sqrt(1.0 - y * y)
     return jnp.stack([r * jnp.cos(phi), y, r * jnp.sin(phi)], axis=-1)
 
 

@@ -243,8 +243,8 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
             L_env = env_radiance(scene.envmap, st.d)
             if env_is:
                 pdf_e = env_pdf(scene.envmap, st.d)
-                w_env = jax.lax.stop_gradient(
-                    jnp.where(st.prev_random, power_heuristic(st.prev_pdf, pdf_e), 1.0)
+                w_env = jnp.where(
+                    st.prev_random, power_heuristic(st.prev_pdf, pdf_e), 1.0
                 )
             else:
                 w_env = jnp.ones((n,))
@@ -282,8 +282,8 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
         e = emitted(scene, static, hr, -st.d)
         if has_lights:
             pdf_l = lights_pdf_sum(scene, st.o, st.d)
-            w_emit = jax.lax.stop_gradient(
-                jnp.where(st.prev_random, power_heuristic(st.prev_pdf, pdf_l), 1.0)
+            w_emit = jnp.where(
+                st.prev_random, power_heuristic(st.prev_pdf, pdf_l), 1.0
             )
         else:
             w_emit = jnp.ones((n,))
@@ -318,21 +318,27 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
                 pixel_id, sample_id, k, 1
             )
             visible = st_prim == lprim
+            st_t_safe = jnp.where(st_prim >= 0, st_t, 1.0)  # miss -> finite
             Le = _light_emitted_at(
                 scene, static, jnp.maximum(lprim, 0),
-                hr.position + ldir * st_t[..., None], -ldir
+                hr.position + ldir * st_t_safe[..., None], -ldir
             )
             # Detached-sampling estimator: the pdf and MIS weight are treated
             # as constants of the tape; gradients flow through f, Le and the
             # throughput (standard path-replay-style differentiation).
-            w_nee = jax.lax.stop_gradient(power_heuristic(pdf_light, pdf_b))
-            pdf_light_d = jax.lax.stop_gradient(pdf_light)
+            # ATTACHED estimator for continuous quantities: with counter-based
+            # (common) random numbers the sampled configuration moves with the
+            # scene/camera parameters, so the pdf and MIS weight must stay on
+            # the tape for geometry gradients to be unbiased (Zeltner et al.
+            # 2021; validated by tests/test_gradients.py FD checks). Only
+            # DISCRETE decisions (light pick, lobe pick, RR) stay detached.
+            w_nee = power_heuristic(pdf_light, pdf_b)
             ok = is_random & visible & (pdf_light > 1e-12)
             contrib = (
                 st.throughput
                 * f_l
                 * Le
-                * (w_nee / jnp.maximum(pdf_light_d, 1e-12))[..., None]
+                * (w_nee / jnp.maximum(pdf_light, 1e-12))[..., None]
             )
             ev = SensorEvent(
                 radiance=contrib,
@@ -355,11 +361,10 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
             )
             unoccluded = eprim < 0
             L_e = env_radiance(scene.envmap, edir)
-            w_e = jax.lax.stop_gradient(power_heuristic(epdf, pdf_be))
-            epdf_d = jax.lax.stop_gradient(epdf)
+            w_e = power_heuristic(epdf, pdf_be)
             ok_e = is_random & unoccluded & (epdf > 1e-12)
             ev = SensorEvent(
-                radiance=st.throughput * f_e * L_e * (w_e / jnp.maximum(epdf_d, 1e-12))[..., None],
+                radiance=st.throughput * f_e * L_e * (w_e / jnp.maximum(epdf, 1e-12))[..., None],
                 path_component=k,
                 geom_path_length=geom_len,
                 optical_path_length=opt_len,
@@ -369,10 +374,12 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
             acc = sensor.accumulate(acc, ev)
 
         # ---- 8. throughput update + Russian roulette ----------------------
-        pdf_d = jax.lax.stop_gradient(sr.pdf)  # detached-sampling estimator
+        # Attached pdf (see NEE note): for cosine sampling atten/pdf = albedo
+        # exactly, so the cos-term derivatives cancel only when pdf stays on
+        # the tape.
         ratio = jnp.where(
             is_random[..., None],
-            sr.atten / jnp.maximum(pdf_d, 1e-12)[..., None],
+            sr.atten / jnp.maximum(sr.pdf, 1e-12)[..., None],
             sr.atten,
         )
         cont = is_random | is_explicit

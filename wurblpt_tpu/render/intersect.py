@@ -26,11 +26,12 @@ import jax
 import jax.numpy as jnp
 
 from ..core.onb import onb_from_normal
-from ..core.vecmath import cross, dot, normalize
+from ..core.vecmath import cross, dot, normalize, safe_sqrt
 from ..scene.ir import SceneArrays, Triangles
 
 BIG = jnp.float32(3.0e37)
 TRI_TILE = 1024
+PALLAS_MIN_BATCH = 524288  # standalone-cast threshold for the Pallas kernel
 
 
 class HitRecord(NamedTuple):
@@ -97,7 +98,7 @@ def ray_sphere_tile(o, d, center, radius, t_min, t_max):
     half_b = jnp.sum(oc * dd, axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
     disc = half_b * half_b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = safe_sqrt(disc)
     # Stable roots: q = -(half_b + sign(half_b)*sq); t0 = q/a, t1 = c/q.
     q = -(half_b + jnp.sign(half_b) * sq)
     t0 = q / jnp.maximum(a, 1e-20)
@@ -215,6 +216,14 @@ def scene_raw_hit(scene: SceneArrays, o, d, t_min, t_max, anim_ctx=None, ms=None
     single-matmul MXU intersector (built once per trace by the integrator).
     """
     if ms is not None:
+        # The Pallas fused cast wins for big standalone batches, but inside the
+        # wavefront while_loop the custom-call boundary breaks XLA's body
+        # fusion and costs more than it saves (measured: 125 -> 321 ms/frame
+        # at 65k lanes). Keep it for large batches outside tight loops.
+        if jax.default_backend() == "tpu" and o.shape[0] >= PALLAS_MIN_BATCH:
+            from ..accel.pallas_intersect import pallas_closest_hit
+
+            return pallas_closest_hit(ms, o, d, t_min, t_max)
         from .intersect_mxu import mxu_closest_hit
 
         t, prim, u, v, _ = mxu_closest_hit(ms, o, d, t_min, t_max)
@@ -253,7 +262,7 @@ def _sphere_uv_tangent(local_pos_unit):
     u = 0.5 + jnp.arctan2(x, z) / (2.0 * jnp.pi)
     v = 0.5 + jnp.arcsin(jnp.clip(y, -1.0, 1.0)) / jnp.pi
     tangent = jnp.stack([z, jnp.zeros_like(y), -x], axis=-1)
-    ln = jnp.sqrt(jnp.sum(tangent * tangent, axis=-1, keepdims=True))
+    ln = safe_sqrt(jnp.sum(tangent * tangent, axis=-1, keepdims=True))
     pole = ln < 1e-6
     tangent = jnp.where(pole, jnp.array([1.0, 0.0, 0.0]), tangent / jnp.maximum(ln, 1e-20))
     return jnp.stack([u, v], axis=-1), tangent
@@ -273,7 +282,11 @@ def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v, anim_ctx=None, ms=None
     prim_safe = jnp.maximum(prim, 0)
     is_tri = hit & (prim_safe < n_tri) if n_tri > 0 else jnp.zeros_like(hit)
 
-    position = o + t[..., None] * d
+    # Miss lanes carry t = BIG; o + BIG*d overflows |position|^2 to inf and a
+    # single inf/NaN forward value poisons every backward cotangent (inf * 0 =
+    # NaN through jnp.where). Positions on miss lanes are placeholders anyway.
+    t_pos = jnp.where(hit, t, 1.0)
+    position = o + t_pos[..., None] * d
     pos_local = position
     aid_win = None
     if anim_ctx is not None:
@@ -318,7 +331,7 @@ def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v, anim_ctx=None, ms=None
         has_tan = (T.flags[ti] & 2) > 0
         # Gram-Schmidt the interpolated tangent against the shading normal.
         tan_gs = tan_raw - dot(tan_raw, n_interp, keepdims=True) * n_interp
-        tan_len = jnp.sqrt(jnp.maximum(dot(tan_gs, tan_gs), 0.0))
+        tan_len = safe_sqrt(dot(tan_gs, tan_gs))
         tan_fallback, _ = onb_from_normal(n_interp)
         tan_tri = jnp.where(
             (has_tan & (tan_len > 1e-8))[..., None],

@@ -48,7 +48,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.onb import onb_from_normal
-from ..core.vecmath import cross, dot, normalize
+from ..core.vecmath import cross, dot, normalize, safe_sqrt
 from ..scene.ir import SceneArrays
 
 BIG = jnp.float32(3.0e37)
@@ -217,7 +217,7 @@ def mxu_closest_hit(ms: MxuScene, o, d, t_min, t_max):
         cq = prod[:, sph0 + ms.ks:sph0 + 2 * ms.ks]
         a = jnp.sum(d * d, -1)[:, None]
         disc = half_b * half_b - a * cq
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sq = safe_sqrt(disc)
         q = -(half_b + jnp.sign(half_b) * sq)
         t0 = q / jnp.maximum(a, 1e-20)
         t1 = cq / jnp.where(jnp.abs(q) > 1e-20, q, 1.0)
@@ -272,7 +272,7 @@ def mxu_tri_attrs(ms: MxuScene, onehot, u, v):
     tan_raw = w * t0 + uu * t1 + vv * t2
     has_tan = (flags & 2) > 0
     tan_gs = tan_raw - dot(tan_raw, n_interp, keepdims=True) * n_interp
-    tan_len = jnp.sqrt(jnp.maximum(dot(tan_gs, tan_gs), 0.0))
+    tan_len = safe_sqrt(dot(tan_gs, tan_gs))
     tan_fb, _ = onb_from_normal(n_interp)
     tangent = jnp.where(
         (has_tan & (tan_len > 1e-8))[:, None],

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import sampler
-from ..core.vecmath import cross, dot, normalize
+from ..core.vecmath import cross, dot, normalize, safe_sqrt
 from ..scene.ir import SceneArrays
 
 _TWO_PI = 2.0 * jnp.pi
@@ -88,7 +88,7 @@ def lights_pdf_sum(scene: SceneArrays, origin, direction) -> jnp.ndarray:
     r2 = (radius * radius)[None]
     outside = dist2 > r2
     sin2_max = jnp.clip(r2 / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
-    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    cos_max = safe_sqrt(1.0 - sin2_max)
     solid = _TWO_PI * (1.0 - cos_max)
     cos_dir = jnp.sum(d * oc, axis=-1) / jnp.maximum(jnp.sqrt(dist2), 1e-12)
     in_cone = cos_dir >= cos_max
@@ -132,7 +132,7 @@ def lights_sample(
         oc = center - origin
         dist2 = jnp.sum(oc * oc, axis=-1)
         sin2_max = jnp.clip(radius * radius / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
-        cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+        cos_max = safe_sqrt(1.0 - sin2_max)
         d_sph = sampler.to_sphere(oc, cos_max, u3[..., 1:3])
         dist_sph = jnp.sqrt(dist2)
     else:

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.rng import Salt, uniform1
-from ..core.vecmath import dot
+from ..core.vecmath import dot, safe_sqrt
 from ..scene.ir import MediumArrays, SceneArrays
 
 BIG = jnp.float32(3.0e37)
@@ -76,7 +76,7 @@ def _medium_boundary_hit(media: MediumArrays, m: int, o, d, t_min):
         half_b = jnp.sum(oc * dx, axis=-1)
         c = jnp.sum(oc * oc, axis=-1) - (media.sph_radius * media.sph_radius)[None, :]
         disc = half_b * half_b - a * c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sq = safe_sqrt(disc)
         q = -(half_b + jnp.sign(half_b) * sq)
         t0 = q / jnp.maximum(a, 1e-20)
         t1 = c / jnp.where(jnp.abs(q) > 1e-20, q, 1.0)
