@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..render.bsdf import SceneStatic
-from ..render.camera import CameraConfig, CameraParams
+from ..render.camera import CameraConfig, CameraParams, SurroundMode
 from ..render.integrator import RenderParams, render_frame
 
 
@@ -59,20 +59,35 @@ def render_frame_sharded(
     """Render with pixels sharded over the mesh's "rays" axis.
 
     The scene is replicated; the framebuffer is produced row-sharded and
-    gathered implicitly on host fetch. Height must be divisible by the mesh
-    size (pad upstream if needed).
+    gathered implicitly on host fetch. Heights not divisible by the mesh size
+    are padded internally (the extra rows render real pixels below the frame
+    and are sliced off) — the analog of the reference's final partial MPI
+    block (mpi.hpp:226-232).
     """
     if mesh is None:
         mesh = make_ray_mesh()
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    assert height % n_dev == 0, f"height {height} not divisible by {n_dev} devices"
+    # Pinhole mono ray gen is height-independent (extra rows = pixels below
+    # the frame, bit-identical prefix); surround/stereo map rows through the
+    # frame height so padding would change every ray.
+    can_pad = cam_cfg.surround == SurroundMode.OFF and not cam_cfg.stereo
+    if can_pad:
+        pad_height = -(-height // n_dev) * n_dev
+    else:
+        # Surround/stereo mappings depend on the frame height; padding would
+        # change every ray. Require divisibility there.
+        assert height % n_dev == 0, (
+            f"height {height} not divisible by {n_dev} devices "
+            "(surround/stereo frames cannot be row-padded)"
+        )
+        pad_height = height
 
     rep = NamedSharding(mesh, P())
 
     def run(scene_in, cam_in):
         img = render_frame(
-            scene_in, static, cam_in, cam_cfg, sensor, width, height,
+            scene_in, static, cam_in, cam_cfg, sensor, width, pad_height,
             samples_sqrt, t0, t1, params, samples_per_pass,
         )
         # Ask GSPMD to shard the framebuffer rows over the ray axis; everything
@@ -82,7 +97,8 @@ def render_frame_sharded(
         )
 
     fn = jax.jit(run, in_shardings=(rep, rep), out_shardings=NamedSharding(mesh, P(axis, None, None)))
-    return fn(scene, cam)
+    img = fn(scene, cam)
+    return img[:height] if pad_height != height else img
 
 
 def training_step(

@@ -73,6 +73,7 @@ def get_ground_truth(
     o, d, _ = camera_rays(
         cam, cam_cfg, jnp.stack([px, py], -1), width, height,
         jnp.float32(t), jnp.float32(t), zeros, jnp.zeros((n_pix, 2)),
+        anims=scene.anims,
     )
     if static.has_anim:
         from ..scene.animation import make_anim_ctx

@@ -68,11 +68,21 @@ class SceneStatic(NamedTuple):
     env_importance: bool
     has_media: bool
     has_normal_maps: bool = False
+    lights_animated: bool = False
 
     @staticmethod
     def from_scene(scene: SceneArrays) -> "SceneStatic":
         import numpy as np
 
+        n_tri = scene.n_tris
+        lp = np.asarray(scene.light_prims)
+        la = False
+        if lp.size > 0 and scene.anims.count > 1:
+            anim_all = np.concatenate([
+                np.asarray(scene.tris.anim).reshape(-1),
+                np.asarray(scene.spheres.anim).reshape(-1),
+            ])  # global prim id order: tris then spheres (matches light_prims)
+            la = bool(np.any(anim_all[lp] != 0))
         return SceneStatic(
             mat_types=frozenset(np.unique(np.asarray(scene.materials.typ)).tolist()),
             has_textures=scene.textures.count > 0,
@@ -82,6 +92,7 @@ class SceneStatic(NamedTuple):
             env_importance=scene.envmap.alias_prob.shape[0] > 0,
             has_media=scene.media.count > 0,
             has_normal_maps=bool(np.any(np.asarray(scene.materials.normal_tex) >= 0)),
+            lights_animated=la,
         )
 
 

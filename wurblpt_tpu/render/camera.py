@@ -24,6 +24,7 @@ from ..core import sampler
 from ..core.transform import (
     Transformation,
     quat_conjugate,
+    quat_mul,
     quat_rotate,
 )
 from ..core.vecmath import normalize
@@ -51,6 +52,9 @@ class CameraConfig:
     distortion: int = DistortionModel.NONE
     dof: bool = False
     undistort_iters: int = 32         # fixed-count replacement for the <=256-iter loop
+    anim_id: int = -1                 # scene animation driving the pose per ray
+    #                                   time (camera.hpp:56-111: a camera owns an
+    #                                   Animation; -1 = static CameraParams pose)
 
 
 class CameraParams(NamedTuple):
@@ -166,13 +170,34 @@ def camera_rays(
     t1,
     u_time,              # [N] uniforms for motion-blur time
     u_lens,              # [N, 2] uniforms for DoF lens sampling
+    anims=None,          # AnimTable; required when cfg.anim_id >= 0
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Generate world-space rays for pixel centers (camera.hpp:123-185).
 
+    Animated cameras (cfg.anim_id >= 0, camera.hpp:56-111,174-180): the pose is
+    the scene animation evaluated at each ray's motion-blur time, composed with
+    the static CameraParams pose (animation-local offset; identity CameraParams
+    reproduces the reference's animation-only camera). Camera motion blur and
+    per-frame video poses both fall out of this.
+
     Returns (origin [N,3], direction [N,3], time [N]).
     """
-    tf = cam.transformation
     px, py = pixel_xy[..., 0], pixel_xy[..., 1]
+    time = t0 + u_time * (t1 - t0)
+    tf = cam.transformation
+    if cfg.anim_id >= 0:
+        assert anims is not None, "animated camera needs the scene AnimTable"
+        from ..scene.animation import eval_animation
+
+        aid = jnp.full(time.shape, cfg.anim_id, jnp.int32)
+        atf = eval_animation(anims, aid, time)
+        # compose: world <- animation <- static camera-local pose
+        tf = Transformation(
+            translation=atf.translation
+            + quat_rotate(atf.rotation, tf.translation * atf.scale),
+            rotation=quat_mul(atf.rotation, jnp.broadcast_to(tf.rotation, atf.rotation.shape)),
+            scale=atf.scale * tf.scale,
+        )
 
     eff_height = height // 2 if cfg.stereo else height
     # top half = left eye (0), bottom half = right (1) (camera.hpp stereo packing)
@@ -218,7 +243,6 @@ def camera_rays(
 
     d_world = quat_rotate(tf.rotation, normalize(d_cam))
     o_world = quat_rotate(tf.rotation, o_cam * tf.scale) + tf.translation
-    time = t0 + u_time * (t1 - t0)
     return o_world, d_world, time
 
 

@@ -85,9 +85,14 @@ class _LoopState(NamedTuple):
     stats: jnp.ndarray          # [2] int32: (closest casts, total casts incl. shadow)
 
 
-def _light_emitted_at(scene: SceneArrays, static: SceneStatic, prim, point, toward):
+def _light_emitted_at(scene: SceneArrays, static: SceneStatic, prim, point, toward,
+                      frame=None):
     """Emitted radiance of light prim `prim` at surface point `point` toward
-    direction `toward` (unit, pointing from light to receiver)."""
+    direction `toward` (unit, pointing from light to receiver).
+
+    `frame`: optional per-ray (m [N,3,3], t [N,3]) forward TRS of the prim's
+    animation at ray time — animated emitters evaluate their normal (cone
+    axis / sidedness) in world space at that instant."""
     n_tri = scene.n_tris
     is_tri = prim < n_tri
     ti = jnp.clip(prim, 0, max(n_tri - 1, 0))
@@ -96,6 +101,10 @@ def _light_emitted_at(scene: SceneArrays, static: SceneStatic, prim, point, towa
         import jax.numpy as _jnp
 
         e1, e2 = T.e1[ti], T.e2[ti]
+        if frame is not None:
+            m_f, _ = frame
+            e1 = _jnp.einsum("nij,nj->ni", m_f, e1)
+            e2 = _jnp.einsum("nij,nj->ni", m_f, e2)
         fn = _jnp.cross(e1, e2)
         n_t = fn / _jnp.maximum(_jnp.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
         mat_t = T.mat[ti]
@@ -105,7 +114,12 @@ def _light_emitted_at(scene: SceneArrays, static: SceneStatic, prim, point, towa
     if scene.n_spheres > 0:
         si = jnp.clip(prim - n_tri, 0, scene.n_spheres - 1)
         S = scene.spheres
-        n_s = (point - S.center[si]) / jnp.maximum(S.radius[si], 1e-20)[..., None]
+        center, radius = S.center[si], S.radius[si]
+        if frame is not None:
+            m_f, t_f = frame
+            center = jnp.einsum("nij,nj->ni", m_f, center) + t_f
+            radius = radius * jnp.linalg.norm(m_f, axis=-2).mean(-1)
+        n_s = (point - center) / jnp.maximum(radius, 1e-20)[..., None]
         mat_s = S.mat[si]
     else:
         n_s = jnp.zeros_like(point)
@@ -149,7 +163,8 @@ def trace_paths(
     if static.has_anim:
         from ..scene.animation import make_anim_ctx
 
-        anim_ctx = make_anim_ctx(scene.anims, time)
+        anim_ctx = make_anim_ctx(scene.anims, time,
+                                 with_forward=static.lights_animated)
     else:
         anim_ctx = None
 
@@ -209,6 +224,16 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
     env_is = static.env_kind != 0 and static.env_importance
     has_env = static.env_kind != 0
     has_lights = static.n_lights > 0
+
+    # Animated emitters: per-ray forward frames of each hot spot's animation
+    # (ray time is fixed along a path, so they are loop-invariant like the
+    # AnimCtx itself). None when every light is static.
+    if has_lights and anim_ctx is not None and getattr(static, "lights_animated", False):
+        from .lights import light_frames
+
+        lframes = light_frames(scene, anim_ctx)
+    else:
+        lframes = None
 
     def cast(o_, d_, tmin_, pixel_id, sample_id, k, salt_ctx):
         """Closest hit incl. stochastic medium scattering (media.py).
@@ -281,7 +306,7 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
         # ---- 4. emitted with MIS weight (wurblpt.hpp:160-163, 181-185) ----
         e = emitted(scene, static, hr, -st.d)
         if has_lights:
-            pdf_l = lights_pdf_sum(scene, st.o, st.d)
+            pdf_l = lights_pdf_sum(scene, st.o, st.d, frames=lframes)
             w_emit = jnp.where(
                 st.prev_random, power_heuristic(st.prev_pdf, pdf_l), 1.0
             )
@@ -308,8 +333,10 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
         # ---- 6. NEE toward hot spots (wurblpt.hpp:179-220) ----------------
         if has_lights:
             u3 = uniform4(pixel_id, sample_id, k, Salt.NEE_SAMPLE)[..., :3]
-            ldir, lprim, ldist = lights_sample(scene, hr.position, u3)
-            pdf_light = lights_pdf_sum(scene, hr.position, ldir)
+            ldir, lprim, ldist, lpick = lights_sample(
+                scene, hr.position, u3, frames=lframes
+            )
+            pdf_light = lights_pdf_sum(scene, hr.position, ldir, frames=lframes)
             f_l, pdf_b = bsdf_eval(scene, static, hr, st.d, ldir)
             # visibility + blocker identity check (wurblpt.hpp:203-217);
             # media block shadow rays stochastically (salt_ctx=1).
@@ -319,9 +346,15 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
             )
             visible = st_prim == lprim
             st_t_safe = jnp.where(st_prim >= 0, st_t, 1.0)  # miss -> finite
+            if lframes is not None:
+                rows = jnp.arange(n)
+                pick_frame = (lframes[0][rows, lpick], lframes[1][rows, lpick])
+            else:
+                pick_frame = None
             Le = _light_emitted_at(
                 scene, static, jnp.maximum(lprim, 0),
-                hr.position + ldir * st_t_safe[..., None], -ldir
+                hr.position + ldir * st_t_safe[..., None], -ldir,
+                frame=pick_frame,
             )
             # Detached-sampling estimator: the pdf and MIS weight are treated
             # as constants of the tape; gradients flow through f, Le and the
@@ -492,7 +525,8 @@ def render_frame_wavefront(
     if static.has_anim:
         from ..scene.animation import make_anim_ctx
 
-        anim_ctx = make_anim_ctx(scene.anims, jnp.full((L,), jnp.float32(t0)))
+        anim_ctx = make_anim_ctx(scene.anims, jnp.full((L,), jnp.float32(t0)),
+                                 with_forward=static.lights_animated)
     else:
         anim_ctx = None
     from .intersect import mxu_eligible
@@ -559,7 +593,8 @@ def render_frame_wavefront(
             u_time = uniform1(p_lane, s_new, 0, Salt.TIME)
             u_lens = uniform2(p_lane, s_new, 0, Salt.LENS)
             o, d, tme = camera_rays(
-                cam, cam_cfg, pxy, width, height, t0f, t1f, u_time, u_lens
+                cam, cam_cfg, pxy, width, height, t0f, t1f, u_time, u_lens,
+                anims=scene.anims,
             )
             sel = need[:, None]
             ls = ls._replace(
@@ -693,7 +728,8 @@ def accumulate_passes(
         u_time = uniform1(pid, s, 0, Salt.TIME)
         u_lens = uniform2(pid, s, 0, Salt.LENS)
         o, d, time = camera_rays(
-            cam, cam_cfg, pxy, width, height, t0f, t1f, u_time, u_lens
+            cam, cam_cfg, pxy, width, height, t0f, t1f, u_time, u_lens,
+            anims=scene.anims,
         )
         acc = trace_paths(
             scene, static, sensor, o, d, time, pid, s, params,

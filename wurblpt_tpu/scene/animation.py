@@ -61,6 +61,9 @@ class AnimCtx(NamedTuple):
     r_inv: jnp.ndarray  # [N, A, 3, 3] diag(1/s) R^T
     t_inv: jnp.ndarray  # [N, A, 3]    world translation (subtract pre-rotate)
     time: jnp.ndarray   # [N]
+    m_fwd: jnp.ndarray = None  # [N, A, 3, 3] forward map R diag(s); only built
+    #                            when animated NEE needs light geometry in
+    #                            world space at ray time (lights.py)
 
     def ray_to_object(self, o, d):
         """World rays [N,3] -> object-space rays per animation [N,A,3]."""
@@ -70,7 +73,7 @@ class AnimCtx(NamedTuple):
         return o_a, d_a
 
 
-def make_anim_ctx(anims: AnimTable, time) -> AnimCtx:
+def make_anim_ctx(anims: AnimTable, time, with_forward: bool = False) -> AnimCtx:
     """Evaluate ALL animations at each ray's time (A is small; row 0 identity)."""
     n = time.shape[0]
     a = anims.count
@@ -80,7 +83,8 @@ def make_anim_ctx(anims: AnimTable, time) -> AnimCtx:
     r_inv = jnp.swapaxes(r3, -1, -2) / jnp.maximum(
         tf.scale[..., :, None], 1e-20
     )                                                   # diag(1/s) R^T
-    return AnimCtx(r_inv=r_inv, t_inv=tf.translation, time=time)
+    m_fwd = r3 * tf.scale[..., None, :] if with_forward else None
+    return AnimCtx(r_inv=r_inv, t_inv=tf.translation, time=time, m_fwd=m_fwd)
 
 
 def anim_forward_frames(anims: AnimTable, aid, time):
