@@ -47,6 +47,7 @@ def _scene_with(p0, e1, e2, sc, sr, bvh):
         emissive=jnp.zeros((1, 4)), emissive_tex=-jnp.ones((1,), jnp.int32),
         p0=jnp.zeros((1, 4)), p1=jnp.zeros((1, 4)),
         normal_tex=-jnp.ones((1,), jnp.int32), rgl_id=-jnp.ones((1,), jnp.int32),
+        p2=jnp.zeros((1, 4)), opacity_tex=-jnp.ones((1,), jnp.int32),
     )
     tt = TextureTable(
         jnp.zeros((0,), jnp.int32), jnp.zeros((0, 8)), jnp.zeros((0, 2)),

@@ -359,13 +359,24 @@ def _material_from_mtl(m: dict, base: str, import_bits: int, tex_cache: dict):
     if not no_lights:
         emissive = tuple(emi)
         emissive_tex = tex_of(m["map_ke"])
+    # Opacity source priority (material_modphong.hpp:136-146): explicit map_d
+    # texture > diffuse-map alpha channel > scalar dissolve.
+    opa_src = tex_of(m["map_d"], srgb=False)
+    if opa_src is None and dif_tex_alpha:
+        alpha = np.asarray(dif_tex.image)[..., -1]
+        if alpha.dtype == np.uint8:
+            alpha = alpha.astype(np.float32) / 255.0
+        opa_src = B.ImageTexture(image=np.repeat(alpha[..., None].astype(np.float32), 3, -1),
+                                 srgb=False)
     mat = B.ModPhong(
         diffuse=dif_tex if dif_tex is not None else tuple(dif),
         specular=tex_of(m["map_ks"]) or tuple(spc),
         shininess=shi,
-        opacity=opa,
+        opacity=opa_src if opa_src is not None else opa,
         emissive=emissive_tex if emissive_tex is not None else emissive,
         normal_map=normal_map,
+        ior=ior,
+        transmissive=tuple(np.clip(tra, 0.0, 1.0)),
     )
     is_light = (float(np.dot(emi, emi)) > 0.0 or emissive_tex is not None) \
         and not no_lights

@@ -69,6 +69,7 @@ class SceneStatic(NamedTuple):
     has_media: bool
     has_normal_maps: bool = False
     lights_animated: bool = False
+    has_opacity_tex: bool = False
 
     @staticmethod
     def from_scene(scene: SceneArrays) -> "SceneStatic":
@@ -93,6 +94,10 @@ class SceneStatic(NamedTuple):
             has_media=scene.media.count > 0,
             has_normal_maps=bool(np.any(np.asarray(scene.materials.normal_tex) >= 0)),
             lights_animated=la,
+            has_opacity_tex=bool(
+                scene.materials.opacity_tex is not None
+                and np.any(np.asarray(scene.materials.opacity_tex) >= 0)
+            ),
         )
 
 
@@ -407,30 +412,50 @@ def bsdf_sample(
         ks = mt.p1[hr.mat]
         shininess = mt.p0[hr.mat, 0]
         opacity = mt.p0[hr.mat, 1]
+        if static.has_opacity_tex:
+            # map_d / diffuse-alpha opacity (material_modphong.hpp:136-146).
+            from .texture import sample_texture
+
+            otex = mt.opacity_tex[hr.mat]
+            opa_t = sample_texture(scene.textures, jnp.maximum(otex, 0), hr.uv)[..., 0]
+            opacity = jnp.where(otex >= 0, opa_t, opacity)
         ps = mt.p0[hr.mat, 2]
         # Opacity pass-through (material_modphong.hpp:241-261): with prob
-        # (1-opacity) continue straight through.
-        pass_through = u_lobe > opacity
+        # (1-opacity) REFRACT through the surface with the material's index
+        # of refraction, attenuated by the transmissive color; total internal
+        # reflection absorbs (the reference returns ScatterNone).
+        pass_through = jax.lax.stop_gradient(u_lobe > opacity)
+        mp_ior = mt.p0[hr.mat, 3]
+        eta = jnp.where(hr.backside, mp_ior, 1.0) / jnp.where(hr.backside, 1.0, mp_ior)
+        from ..core.vecmath import refract as _refract_mp
+
+        d_pass, tir_mp = _refract_mp(ray_dir, n, eta)
+        transmissive = mt.p2[hr.mat]
+        our_ri = jnp.where(hr.backside, 1.0, mp_ior)
+        # Non-transparent backside hits absorb (material_modphong.hpp:262-263).
+        backside_absorb = hr.backside & ~pass_through
         pick_spec = u_chan < ps
         refl_axis = reflect(ray_dir, n)
         d_spec = _sample_power_cosine(refl_axis, shininess, u2)
         d_diff = sampler.cosine_direction(n, u2)
         d_mp = jnp.where(pick_spec[..., None], d_spec, d_diff)
         fcos, p = _modphong_eval(wo, d_mp, n, albedo, ks, shininess)
-        d_mp = jnp.where(pass_through[..., None], ray_dir, d_mp)
+        d_mp = jnp.where(pass_through[..., None], d_pass, d_mp)
         sel = typ == MaterialType.MODPHONG
-        kind = jnp.where(
-            sel,
-            jnp.where(pass_through, ScatterKind.EXPLICIT, ScatterKind.RANDOM),
-            kind,
-        )
+        kind_mp = jnp.where(pass_through, ScatterKind.EXPLICIT, ScatterKind.RANDOM)
+        kind_mp = jnp.where((pass_through & tir_mp) | backside_absorb,
+                            ScatterKind.NONE, kind_mp)
+        kind = jnp.where(sel, kind_mp, kind)
         direction = jnp.where(sel[..., None], d_mp, direction)
         atten = jnp.where(
             sel[..., None],
-            jnp.where(pass_through[..., None], jnp.ones((N, 4)), fcos),
+            jnp.where(pass_through[..., None], transmissive, fcos),
             atten,
         )
         pdf = jnp.where(sel, jnp.where(pass_through, 1.0, p), pdf)
+        ior = jnp.where(
+            (sel & pass_through)[..., None], our_ri[..., None], ior
+        )
 
     # ---- Isotropic phase function ----
     if MaterialType.PHASE_ISO in static.mat_types:
@@ -499,6 +524,12 @@ def bsdf_eval(scene: SceneArrays, static: SceneStatic, hr: HitRecord, ray_dir, w
         ks = mt.p1[hr.mat]
         shininess = mt.p0[hr.mat, 0]
         f_m, p_m = _modphong_eval(wo, wd, n, albedo, ks, shininess)
+        # Full lobe despite opacity, matching the reference's
+        # scatterToDirection (material_modphong.hpp:310-328): NEE only runs on
+        # RANDOM lanes, reached with probability `opacity`; that discrete
+        # factor cancels against the opacity weight of the surface-reflection
+        # term, so the conditional estimator with the FULL phong lobe (and its
+        # unconditioned mixed pdf for MIS) is unbiased.
         sel = typ == MaterialType.MODPHONG
         fcos = jnp.where(sel[..., None], f_m, fcos)
         pdf = jnp.where(sel, p_m, pdf)

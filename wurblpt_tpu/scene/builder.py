@@ -143,8 +143,10 @@ class ModPhong(Material):
     diffuse: TexOrColor = (0.5, 0.5, 0.5)
     specular: TexOrColor = (0.0, 0.0, 0.0)
     shininess: float = 0.0
-    opacity: float = 1.0
+    opacity: TexOrColor = 1.0         # scalar, or a Texture sampled .r (map_d)
     emissive: TexOrColor = (0.0, 0.0, 0.0)
+    ior: float = 1.0                  # pass-through refraction index
+    transmissive: TexOrColor = (0.0, 0.0, 0.0)  # pass-through attenuation
 
 
 @dataclass

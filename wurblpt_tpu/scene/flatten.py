@@ -157,8 +157,10 @@ def _flatten_materials(materials, collector: _TextureCollector, rgl_names) -> Ma
     emissive_tex = np.full((m,), -1, _i32)
     p0 = np.zeros((m, 4), _f32)
     p1 = np.zeros((m, 4), _f32)
+    p2 = np.zeros((m, 4), _f32)
     normal_tex = np.full((m,), -1, _i32)
     rgl_id = np.full((m,), -1, _i32)
+    opacity_tex = np.full((m,), -1, _i32)
 
     for i, mat in enumerate(materials):
         if mat.two_sided:
@@ -194,7 +196,15 @@ def _flatten_materials(materials, collector: _TextureCollector, rgl_names) -> Ma
             spec, spec_tex = _tex_or_color(mat.specular, collector)
             p1[i] = spec
             p0[i, 0] = mat.shininess
-            p0[i, 1] = mat.opacity
+            if isinstance(mat.opacity, B.Texture):
+                # map_d / diffuse-alpha opacity (material_modphong.hpp:136-146);
+                # sampled .r at shade time, constant slot unused.
+                opacity_tex[i] = collector.add(mat.opacity)
+                p0[i, 1] = 1.0
+            else:
+                p0[i, 1] = float(mat.opacity)
+            p0[i, 3] = max(float(getattr(mat, "ior", 1.0)), 1.0)
+            p2[i] = B._vec4(getattr(mat, "transmissive", (0.0, 0.0, 0.0)))
             # Lobe-selection probability from relative energies
             # (material_modphong.hpp:213-220): ps = max(spec) / (max(diff)+max(spec)).
             kd = float(np.max(albedo[i][:3]))
@@ -233,6 +243,8 @@ def _flatten_materials(materials, collector: _TextureCollector, rgl_names) -> Ma
         p1=jnp.asarray(p1),
         normal_tex=jnp.asarray(normal_tex),
         rgl_id=jnp.asarray(rgl_id),
+        p2=jnp.asarray(p2),
+        opacity_tex=jnp.asarray(opacity_tex),
     )
 
 

@@ -104,7 +104,8 @@ class MaterialTable(NamedTuple):
       GGX:          p0.xy = roughness (anisotropic)
       GLASS:        p0 = per-channel refractive index (RGB+NIR), p1 = absorption
       MODPHONG:     p0.x = shininess, p0.y = opacity, p0.z = spec probability,
-                    p1 = specular color (RGB+NIR)
+                    p0.w = index of refraction (pass-through),
+                    p1 = specular color (RGB+NIR), p2 = transmissive color
       LIGHT_SPOT:   p0.x = cos(half opening angle)
       LIGHT_TOF:    p0.x = cos(half opening angle); emissive.w = NIR radiance
       PHASE_ISO:    albedo = single-scattering albedo
@@ -120,6 +121,10 @@ class MaterialTable(NamedTuple):
     p1: jnp.ndarray           # [M, 4]
     normal_tex: jnp.ndarray   # [M] int32 (-1 = no normal map)
     rgl_id: jnp.ndarray       # [M] int32 index into RGL table stack (-1 = none)
+    p2: jnp.ndarray = None    # [M, 4] extra params (MODPHONG: transmissive)
+    opacity_tex: jnp.ndarray = None  # [M] int32 opacity texture, .r channel
+    #                                  (material_modphong.hpp:136-146 map_d /
+    #                                  diffuse-alpha; -1 = constant p0.y)
 
     @property
     def count(self):
