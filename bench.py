@@ -13,12 +13,22 @@ machine (BASELINE.json "published", parity/src/parity_cornell.cpp build).
 
 aux carries the remaining configs: RTIOW + OpenCV-distortion camera (config 2),
 envmap + cube-map importance sampling furnace (config 3), ToF AMCW phase image
-(config 4), and a >100k-triangle BVH scene.
+(config 4), a >100k-triangle BVH scene, and a >=64-emitter city scene.
+
+EACH CONFIG RUNS IN A FRESH SUBPROCESS. On the experimental `axon` TPU
+platform, running a second *different* wavefront program in one process fails
+at block_until_ready with `INVALID_ARGUMENT: TPU backend error` (isolated in
+round 2: cornell-then-rtiow reproduces it, each config alone succeeds).
+Subprocess isolation makes the record whole regardless of that platform bug;
+the persistent compilation cache keeps the per-config compile cost one-time.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -187,38 +197,69 @@ def bench_bvh_large():
     }
 
 
-def main():
+CONFIGS = {
+    "cornell": bench_cornell,
+    "rtiow_distortion": bench_rtiow,
+    "envmap_cube_is": bench_envmap_furnace,
+    "tof_amcw": bench_tof,
+    "bvh_100k": bench_bvh_large,
+}
+
+
+def _run_config(name: str):
+    """Child-process entry: run ONE config and print its result JSON."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/wurblpt_jax_cache")
-    device = jax.devices()[0].device_kind
+    result = CONFIGS[name]()
+    result["device"] = jax.devices()[0].device_kind
+    print("WURBLPT_BENCH_RESULT:" + json.dumps(result))
 
-    aux = {"device": device}
-    cornell = bench_cornell()
-    aux["cornell"] = cornell
-    for name, fn in (
-        ("rtiow_distortion", bench_rtiow),
-        ("envmap_cube_is", bench_envmap_furnace),
-        ("tof_amcw", bench_tof),
-        ("bvh_100k", bench_bvh_large),
-    ):
+
+def _spawn_config(name: str, timeout_s: float = 1200.0):
+    """Run one config in a fresh interpreter; return its result dict."""
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--config", name],
+        capture_output=True, text=True, timeout=timeout_s, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("WURBLPT_BENCH_RESULT:"):
+            return json.loads(line[len("WURBLPT_BENCH_RESULT:"):])
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-6:]
+    return {"error": f"rc={proc.returncode}: " + " | ".join(tail)}
+
+
+def main():
+    aux = {}
+    for name in CONFIGS:
         try:
-            aux[name] = fn()
-        except Exception as e:  # a missing optional config must not kill the bench
+            aux[name] = _spawn_config(name)
+        except subprocess.TimeoutExpired:
+            aux[name] = {"error": "timeout"}
+        except Exception as e:  # a failing config must not kill the bench
             aux[name] = {"error": f"{type(e).__name__}: {e}"}
+    aux["device"] = aux.get("cornell", {}).pop("device", "unknown")
+    for name in CONFIGS:
+        if isinstance(aux.get(name), dict):
+            aux[name].pop("device", None)
 
+    cornell = aux.get("cornell", {})
     baseline = 0.0
     try:
-        with open("BASELINE.json") as f:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
             pub = json.load(f).get("published", {})
         baseline = float(pub.get("cornell128_16spp_ref_cpu_paths_per_s", 0.0))
     except Exception:
         pass
-    vs = cornell["paths_per_s"] / baseline if baseline > 0 else 0.0
+    paths_per_s = float(cornell.get("paths_per_s", 0.0))
+    vs = paths_per_s / baseline if baseline > 0 else 0.0
 
     print(json.dumps({
         "metric": "cornell128_16spp_mrays_per_s",
-        "value": round(cornell["mrays_per_s"], 3),
+        "value": round(float(cornell.get("mrays_per_s", 0.0)), 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 3),
         "aux": aux,
@@ -226,4 +267,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--config":
+        _run_config(sys.argv[2])
+    else:
+        main()

@@ -25,7 +25,8 @@ def main():
     duration = args.frames / args.fps
     scene = B.Scene()
     floor = scene.take_material(B.Lambertian(albedo=(0.45, 0.45, 0.45)))
-    fm, ftf = _quad_to((0, -0.5, 0), (1, 0, 0), 0.0, half=8.0)
+    import numpy as np
+    fm, ftf = _quad_to((0, -0.5, 0), (1, 0, 0), -np.pi / 2, half=8.0)
     scene.take_mesh_instance(B.MeshInstance(fm, floor, ftf))
     light = scene.take_material(B.LightDiffuse(radiance=(10.0,) * 3))
     scene.take_sphere(B.SphereObject((0, 2.5, 0), 0.5, light), hot_spot=True)

@@ -26,7 +26,9 @@ def main():
     save_png(args.output, img_mis)
 
     # Material-only comparison: strip the hot-spot list so NEE never fires.
-    scene_nolights = scene._replace(light_prims=scene.light_prims[:0])
+    scene_nolights = scene._replace(
+        light_prims=scene.light_prims[:0], light_weights=None,
+        light_alias_prob=None, light_alias_idx=None)
     img_mat = render(scene_nolights, cam, CameraConfig(), SensorRGB(), args,
                      params=params)
     save_png(args.output.replace(".png", "-material-only.png"), img_mat)

@@ -20,7 +20,8 @@ def main():
 
     scene = B.Scene()
     floor = scene.take_material(B.Lambertian(albedo=(0.4, 0.4, 0.45)))
-    fm, ftf = _quad_to((0, -1.0, 0), (1, 0, 0), 0.0, half=10.0)
+    import numpy as np
+    fm, ftf = _quad_to((0, -1.0, 0), (1, 0, 0), -np.pi / 2, half=10.0)
     scene.take_mesh_instance(B.MeshInstance(fm, floor, ftf))
 
     light = scene.take_material(B.LightDiffuse(radiance=(14.0, 12.0, 10.0)))

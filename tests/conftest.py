@@ -22,6 +22,22 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: the wavefront loop is expensive to compile; cache
-# across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/wurblpt_jax_cache")
+# across test runs. The dir is KEYED TO THE DEVICE CONFIG: entries compiled
+# for a different xla_force_host_platform_device_count collide (the cache key
+# misses the replica count -> "Execution supplied N buffers but compiled
+# program expected M" at run time), so the 8-virtual-device suite must not
+# share a cache with single-device scripts.
+jax.config.update("jax_compilation_cache_dir", "/tmp/wurblpt_jax_cache_cpu8")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# jax 0.9.0 dispatch-fastpath fault isolated in round 3: after program A runs,
+# a second distinct program B over a similar arg pytree fails on its SECOND
+# execution with "Execution supplied N buffers but compiled program expected
+# N+2" — the global shared C++ PjitFunctionCache mis-associates fastpath data
+# (including hoisted const_args) across programs. Forcing every dispatch down
+# the Python path (fastpath data = None) sidesteps it; dispatch overhead is
+# ~100 us/call, noise next to our >10 ms programs. The TPU twin of this fault
+# is why bench.py isolates configs in subprocesses.
+import jax._src.pjit as _pjit  # noqa: E402
+
+_pjit._get_fastpath_data = lambda *a, **k: None

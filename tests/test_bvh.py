@@ -97,13 +97,13 @@ def test_numpy_builder_matches_native_traversal_results():
     amin, amax, cent = prim_aabbs((p0, e1, e2), (sc, sr))
     nat = _build_native(amin, amax, cent, 4)
     assert nat is not None, "native builder must compile in this environment"
-    from wurblpt_tpu.scene.ir import BVHArrays
+    from wurblpt_tpu.accel.build import pack_bvh
 
     npb = _build_numpy(amin, amax, cent, 4)
     o, d, tmin, tmax = _rays(7, 1024)
     results = []
     for built in (nat, npb):
-        bvh = BVHArrays(*(jnp.asarray(a) for a in built))
+        bvh = pack_bvh(built, 4)
         scene = _scene_with(p0, e1, e2, sc, sr, bvh)
         t, pr, u, v = bvh_closest_hit(scene, o, d, tmin, tmax)
         results.append((np.asarray(t), np.asarray(pr)))

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from ..scene.ir import BVHArrays
 
-LEAF_SIZE = 4
+LEAF_SIZE = 4          # small scenes: few prims per leaf keeps tile work low
+LEAF_SIZE_LARGE = 64   # big scenes: wide tiles slash lockstep step counts
 
 
 # ---------------------------------------------------------------------------
@@ -209,13 +210,37 @@ def _build_numpy(amin, amax, cent, leaf_size):
 # Public entry
 # ---------------------------------------------------------------------------
 
-def build_bvh_arrays(tris_np, spheres_np, leaf_size: int = LEAF_SIZE,
+def pack_bvh(built, leaf_size: int) -> BVHArrays:
+    """Pack a builder's flat arrays into the gather-friendly BVHArrays layout
+    (one f32 + one i32 gather per traversal step; 2-D leaf tile)."""
+    node_min, node_max, prim_start, prim_count, miss_next, prim_order = built
+    node_f = np.concatenate(
+        [np.asarray(node_min, np.float32), np.asarray(node_max, np.float32)], 1)
+    prim_start = np.asarray(prim_start, np.int32)
+    prim_count = np.asarray(prim_count, np.int32)
+    # Leaves occupy exactly leaf_size slots in prim_order -> row index.
+    leaf_row = np.where(prim_count > 0, prim_start // leaf_size, -1).astype(np.int32)
+    node_i = np.stack([leaf_row, np.asarray(miss_next, np.int32)], 1)
+    order = np.asarray(prim_order, np.int32)
+    assert order.size % leaf_size == 0
+    return BVHArrays(
+        node_f=jnp.asarray(node_f),
+        node_i=jnp.asarray(node_i),
+        leaf_prims=jnp.asarray(order.reshape(-1, leaf_size)),
+    )
+
+
+def build_bvh_arrays(tris_np, spheres_np, leaf_size: int = None,
                      aabb_override=None) -> BVHArrays:
     """Build BVHArrays from numpy geometry (see prim_aabbs for inputs).
 
     aabb_override: optional (amin, amax) replacing the computed prim boxes —
     used for animated prims whose world boxes are swept over the render
     interval (reference Scene::updateBVH(t0, t1), scene.hpp:151-169).
+
+    leaf_size: leaf tile width K (None = scale with the scene). On TPU, wide
+    leaves trade masked VPU tile work for far fewer lockstep traversal steps
+    — the win is dramatic at 100k prims (see bench bvh_100k).
     """
     amin, amax, cent = prim_aabbs(tris_np, spheres_np)
     if aabb_override is not None:
@@ -223,15 +248,9 @@ def build_bvh_arrays(tris_np, spheres_np, leaf_size: int = LEAF_SIZE,
         cent = (amin + amax) * 0.5
     if amin.shape[0] == 0:
         raise ValueError("cannot build a BVH over an empty scene")
+    if leaf_size is None:
+        leaf_size = LEAF_SIZE if amin.shape[0] < 4096 else LEAF_SIZE_LARGE
     built = _build_native(amin, amax, cent, leaf_size)
     if built is None:
         built = _build_numpy(amin, amax, cent, leaf_size)
-    node_min, node_max, prim_start, prim_count, miss_next, prim_order = built
-    return BVHArrays(
-        node_min=jnp.asarray(node_min),
-        node_max=jnp.asarray(node_max),
-        prim_start=jnp.asarray(prim_start),
-        prim_count=jnp.asarray(prim_count),
-        miss_next=jnp.asarray(miss_next),
-        prim_order=jnp.asarray(prim_order),
-    )
+    return pack_bvh(built, leaf_size)

@@ -24,11 +24,15 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BIG = jnp.float32(3.0e37)
+# Host scalar, NOT jnp: a module-level device array becomes a hoisted
+# const_arg in every program that closes over it (jax 0.9.0 drops those
+# on cross-program re-dispatch; see tests/conftest.py).
+BIG = np.float32(3.0e37)
 _BIGF = 3.0e37  # plain float for in-kernel use (jnp scalars become captured consts)
 _HI = jax.lax.Precision.HIGHEST
 

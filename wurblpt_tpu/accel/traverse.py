@@ -10,25 +10,40 @@ SIMD wavefronts, so here the tree is *threaded* at build time
 
 and the whole batch walks in lockstep inside one ``lax.while_loop``; lanes that
 finished idle on node -1 (remapped to node 0 gathers, results masked). Leaves
-are a static LEAF_SIZE-wide primitive tile so each step has a fixed shape —
-divergence across rays costs masked work, not recompilation.
+are a static K-wide primitive tile (K = ``leaf_prims.shape[1]``, a build-time
+knob) so each step has a fixed shape — divergence across rays costs masked
+work, not recompilation.
+
+TPU cost model (measured round 3): the walk is gather-bound, so each step does
+exactly TWO row gathers (packed ``node_f``/``node_i``) and the leaf width is
+WIDE for big scenes (64 prims/leaf) — tile intersection is vectorized VPU work
+that cuts lockstep step counts by an order of magnitude vs 4-wide leaves.
 
 Unlike the reference's stack traversal there is no near-child-first ordering
 (the thread order is fixed at build time); the SAH layout plus the shrinking
 `best_t` cull keeps visited-node counts close, and every visit is pure VPU
-work (gather + slab test + 4 triangle tests).
+work.
+
+Triangle tests inside leaves are WATERTIGHT (intersect.watertight_tri, Woop
+semantics per ``hitable_triangle.hpp:189-274``) when the scene carries
+absolute vertices; the Moller-Trumbore fallback only remains for raw-array
+scenes built without them.
 """
 
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..core.vecmath import safe_sqrt
 
 from ..scene.ir import SceneArrays
 
-BIG = jnp.float32(3.0e37)
+# Host scalar, NOT jnp: a module-level device array becomes a hoisted
+# const_arg in every program that closes over it (jax 0.9.0 drops those
+# on cross-program re-dispatch; see tests/conftest.py).
+BIG = np.float32(3.0e37)
 
 
 def _slab_test(o, inv_d, bmin, bmax, t_min, t_max):
@@ -42,89 +57,108 @@ def _slab_test(o, inv_d, bmin, bmax, t_min, t_max):
     return near <= far
 
 
-def _leaf_intersect(scene: SceneArrays, o, d, t_min, pids, best, obj_rays=None):
-    """Intersect each ray with its LEAF_SIZE gathered prims; fold into best.
-
-    pids: [N, K] global prim ids (-1 = padding). best: (t, prim, u, v).
-    obj_rays: optional per-animation object-space rays (o_a, d_a) [N,A,3];
-    animated prims gather their lane's ray (hit t is affine-invariant).
-    """
-    bt, bp, bu, bv = best
-    n_tri = scene.n_tris
-    valid_pid = pids >= 0
-    pid_safe = jnp.maximum(pids, 0)
-
+def _leaf_rays(scene, o, d, pids, obj_rays):
+    """Per-(lane, slot) rays: world by default, per-animation object space
+    when obj_rays is given (hit t is affine-invariant)."""
     ox = o[:, None, :]
     dx = d[:, None, :]
-    if obj_rays is not None:
-        # Per-lane anim id: tris and spheres each carry one.
-        if n_tri > 0:
-            aid_t = scene.tris.anim[jnp.clip(pid_safe, 0, n_tri - 1)]
-        else:
-            aid_t = jnp.zeros(pids.shape, jnp.int32)
-        if scene.n_spheres > 0:
-            aid_s = scene.spheres.anim[
-                jnp.clip(pid_safe - n_tri, 0, scene.n_spheres - 1)
-            ]
-        else:
-            aid_s = jnp.zeros(pids.shape, jnp.int32)
-        aid = jnp.where(pids < n_tri, aid_t, aid_s)
-        o_a, d_a = obj_rays
-        ox = jnp.take_along_axis(o_a, aid[..., None], axis=1)
-        dx = jnp.take_along_axis(d_a, aid[..., None], axis=1)
-
+    if obj_rays is None:
+        return ox, dx
+    n_tri = scene.n_tris
+    pid_safe = jnp.maximum(pids, 0)
     if n_tri > 0:
-        ti = jnp.clip(pid_safe, 0, n_tri - 1)
-        T = scene.tris
-        p0 = T.p0[ti]
-        e1 = T.e1[ti]
-        e2 = T.e2[ti]
-        pvec = jnp.cross(dx, e2)
-        det = jnp.sum(e1 * pvec, axis=-1)
-        inv_det = jnp.where(
-            jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0
+        aid_t = scene.tris.anim[jnp.clip(pid_safe, 0, n_tri - 1)]
+    else:
+        aid_t = jnp.zeros(pids.shape, jnp.int32)
+    if scene.n_spheres > 0:
+        aid_s = scene.spheres.anim[
+            jnp.clip(pid_safe - n_tri, 0, scene.n_spheres - 1)
+        ]
+    else:
+        aid_s = jnp.zeros(pids.shape, jnp.int32)
+    aid = jnp.where(pids < n_tri, aid_t, aid_s)
+    o_a, d_a = obj_rays
+    ox = jnp.take_along_axis(o_a, aid[..., None], axis=1)
+    dx = jnp.take_along_axis(d_a, aid[..., None], axis=1)
+    return ox, dx
+
+
+def _leaf_tri_test(scene, ox, dx, pids, t_min, t_max):
+    """Triangle tile test for gathered leaf prims. Returns (t, u, v, ok)."""
+    from ..render.intersect import watertight_tri
+
+    n_tri = scene.n_tris
+    valid_pid = (pids >= 0) & (pids < n_tri)
+    ti = jnp.clip(jnp.maximum(pids, 0), 0, n_tri - 1)
+    T = scene.tris
+    if T.v1 is not None:
+        t, u, v, ok = watertight_tri(
+            ox, dx, T.p0[ti], T.v1[ti], T.v2[ti],
+            t_min[:, None], t_max[:, None],
         )
-        tvec = ox - p0
-        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, e1)
-        v = jnp.sum(dx * qvec, axis=-1) * inv_det
-        t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-        tri_ok = (
-            valid_pid
-            & (pids < n_tri)
-            & (jnp.abs(det) > 1e-12)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t > t_min[:, None])
-        )
-        t_tri = jnp.where(tri_ok, t, BIG)
+        ok = ok & valid_pid
+        return jnp.where(ok, t, BIG), u, v, ok
+    p0, e1, e2 = T.p0[ti], T.e1[ti], T.e2[ti]
+    pvec = jnp.cross(dx, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(
+        jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0
+    )
+    tvec = ox - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(dx * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    ok = (
+        valid_pid
+        & (jnp.abs(det) > 1e-12)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min[:, None]) & (t < t_max[:, None])
+    )
+    return jnp.where(ok, t, BIG), u, v, ok
+
+
+def _leaf_sphere_test(scene, ox, dx, pids, t_min, t_max):
+    n_tri = scene.n_tris
+    valid_pid = pids >= n_tri
+    si = jnp.clip(jnp.maximum(pids, 0) - n_tri, 0, scene.n_spheres - 1)
+    S = scene.spheres
+    oc = ox - S.center[si]
+    a = jnp.sum(dx * dx, axis=-1)
+    half_b = jnp.sum(oc * dx, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - S.radius[si] * S.radius[si]
+    disc = half_b * half_b - a * c
+    sq = safe_sqrt(disc)
+    q = -(half_b + jnp.sign(half_b) * sq)
+    s0 = q / jnp.maximum(a, 1e-20)
+    s1 = c / jnp.where(jnp.abs(q) > 1e-20, q, 1.0)
+    slo = jnp.minimum(s0, s1)
+    shi = jnp.maximum(s0, s1)
+    ts = jnp.where(slo > t_min[:, None], slo, shi)
+    ok = (
+        valid_pid & (disc > 0.0)
+        & (ts > t_min[:, None]) & (ts < t_max[:, None])
+    )
+    return jnp.where(ok, ts, BIG), ok
+
+
+def _leaf_intersect(scene: SceneArrays, o, d, t_min, pids, best, obj_rays=None):
+    """Intersect each ray with its K gathered leaf prims; fold into best.
+
+    pids: [N, K] global prim ids (-1 = padding). best: (t, prim, u, v).
+    """
+    bt, bp, bu, bv = best
+    ox, dx = _leaf_rays(scene, o, d, pids, obj_rays)
+
+    if scene.n_tris > 0:
+        t_tri, u, v, _ = _leaf_tri_test(scene, ox, dx, pids, t_min, bt)
     else:
         t_tri = jnp.full(pids.shape, BIG)
         u = jnp.zeros(pids.shape)
         v = jnp.zeros(pids.shape)
 
     if scene.n_spheres > 0:
-        si = jnp.clip(pid_safe - n_tri, 0, scene.n_spheres - 1)
-        S = scene.spheres
-        center = S.center[si]
-        radius = S.radius[si]
-        oc = ox - center
-        a = jnp.sum(dx * dx, axis=-1)
-        half_b = jnp.sum(oc * dx, axis=-1)
-        c = jnp.sum(oc * oc, axis=-1) - radius * radius
-        disc = half_b * half_b - a * c
-        sq = safe_sqrt(disc)
-        q = -(half_b + jnp.sign(half_b) * sq)
-        s0 = q / jnp.maximum(a, 1e-20)
-        s1 = c / jnp.where(jnp.abs(q) > 1e-20, q, 1.0)
-        slo = jnp.minimum(s0, s1)
-        shi = jnp.maximum(s0, s1)
-        ts = jnp.where(slo > t_min[:, None], slo, shi)
-        sph_ok = (
-            valid_pid & (pids >= n_tri) & (disc > 0.0) & (ts > t_min[:, None])
-        )
-        t_sph = jnp.where(sph_ok, ts, BIG)
+        t_sph, _ = _leaf_sphere_test(scene, ox, dx, pids, t_min, bt)
     else:
         t_sph = jnp.full(pids.shape, BIG)
 
@@ -134,7 +168,7 @@ def _leaf_intersect(scene: SceneArrays, o, d, t_min, pids, best, obj_rays=None):
     rows = jnp.arange(pids.shape[0])
     tk = t_all[rows, k]
     closer = tk < bt
-    is_tri_win = pids[rows, k] < n_tri
+    is_tri_win = pids[rows, k] < scene.n_tris
     return (
         jnp.where(closer, tk, bt),
         jnp.where(closer, pids[rows, k], bp),
@@ -151,7 +185,6 @@ def bvh_closest_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
     """
     bvh = scene.bvh
     n = o.shape[0]
-    leaf_k = _leaf_width(bvh)
 
     inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / jnp.where(d == 0.0, 1.0, d), BIG)
 
@@ -170,22 +203,20 @@ def bvh_closest_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
         node, bt, bp, bu, bv = state
         live = node >= 0
         ns = jnp.maximum(node, 0)
-        bmin = bvh.node_min[ns]
-        bmax = bvh.node_max[ns]
-        pstart = bvh.prim_start[ns]
-        pcount = bvh.prim_count[ns]
-        miss = bvh.miss_next[ns]
+        nf = bvh.node_f[ns]                  # [N, 6] one gather
+        ni = bvh.node_i[ns]                  # [N, 2] one gather
+        leaf_row = ni[:, 0]
+        miss = ni[:, 1]
 
-        box_hit = live & _slab_test(o, inv_d, bmin, bmax, t_min, jnp.minimum(t_max, bt))
-        is_leaf = pcount > 0
+        box_hit = live & _slab_test(
+            o, inv_d, nf[:, 0:3], nf[:, 3:6], t_min, jnp.minimum(t_max, bt)
+        )
+        is_leaf = leaf_row >= 0
         do_leaf = box_hit & is_leaf
 
-        # Static-width leaf tile: gather LEAF_SIZE prim slots, mask padding and
-        # lanes not standing on a hit leaf.
-        offs = jnp.arange(leaf_k, dtype=jnp.int32)[None, :]
-        slot = jnp.maximum(pstart, 0)[:, None] + offs
-        slot = jnp.clip(slot, 0, bvh.prim_order.shape[0] - 1)
-        pids = jnp.where(do_leaf[:, None], bvh.prim_order[slot], -1)
+        pids = jnp.where(
+            do_leaf[:, None], bvh.leaf_prims[jnp.maximum(leaf_row, 0)], -1
+        )
         bt, bp, bu, bv = _leaf_intersect(
             scene, o, d, t_min, pids, (bt, bp, bu, bv), obj_rays=obj_rays
         )
@@ -199,11 +230,47 @@ def bvh_closest_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
     return jnp.where(hit, bt, BIG), bp, bu, bv
 
 
-def _leaf_width(bvh) -> int:
-    """Leaf tile width; every leaf occupies exactly this many prim_order slots."""
-    # prim_order length is (num_leaves * leaf_size); leaf_size is the builder's
-    # LEAF_SIZE constant. Stored implicitly: recover from the smallest leaf
-    # stride. All builders in accel.build use LEAF_SIZE.
-    from .build import LEAF_SIZE
+def bvh_any_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
+    """Occlusion walk: a lane retires the moment ANY hit lands in
+    (t_min, t_max) — no best-t refinement, early exit per lane."""
+    bvh = scene.bvh
+    n = o.shape[0]
+    inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / jnp.where(d == 0.0, 1.0, d), BIG)
 
-    return LEAF_SIZE
+    init = (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), bool))
+
+    def cond(state):
+        return jnp.any(state[0] >= 0)
+
+    def body(state):
+        node, occ = state
+        live = node >= 0
+        ns = jnp.maximum(node, 0)
+        nf = bvh.node_f[ns]
+        ni = bvh.node_i[ns]
+        leaf_row = ni[:, 0]
+        miss = ni[:, 1]
+
+        box_hit = live & _slab_test(o, inv_d, nf[:, 0:3], nf[:, 3:6], t_min, t_max)
+        is_leaf = leaf_row >= 0
+        do_leaf = box_hit & is_leaf
+
+        pids = jnp.where(
+            do_leaf[:, None], bvh.leaf_prims[jnp.maximum(leaf_row, 0)], -1
+        )
+        ox, dx = _leaf_rays(scene, o, d, pids, obj_rays)
+        hit_any = jnp.zeros((n,), bool)
+        if scene.n_tris > 0:
+            _, _, _, ok = _leaf_tri_test(scene, ox, dx, pids, t_min, t_max)
+            hit_any |= jnp.any(ok, axis=-1)
+        if scene.n_spheres > 0:
+            _, oks = _leaf_sphere_test(scene, ox, dx, pids, t_min, t_max)
+            hit_any |= jnp.any(oks, axis=-1)
+        occ = occ | hit_any
+
+        nxt = jnp.where(box_hit & ~is_leaf, ns + 1, miss)
+        node = jnp.where(live & ~occ, nxt, -1)
+        return node, occ
+
+    _, occ = jax.lax.while_loop(cond, body, init)
+    return occ

@@ -363,10 +363,10 @@ def _material_from_mtl(m: dict, base: str, import_bits: int, tex_cache: dict):
     # texture > diffuse-map alpha channel > scalar dissolve.
     opa_src = tex_of(m["map_d"], srgb=False)
     if opa_src is None and dif_tex_alpha:
-        alpha = np.asarray(dif_tex.image)[..., -1]
-        if alpha.dtype == np.uint8:
-            alpha = alpha.astype(np.float32) / 255.0
-        opa_src = B.ImageTexture(image=np.repeat(alpha[..., None].astype(np.float32), 3, -1),
+        # import_texture always yields float32 images, so the alpha channel is
+        # already in [0, 1].
+        alpha = np.asarray(dif_tex.image)[..., -1].astype(np.float32)
+        opa_src = B.ImageTexture(image=np.repeat(alpha[..., None], 3, -1),
                                  srgb=False)
     mat = B.ModPhong(
         diffuse=dif_tex if dif_tex is not None else tuple(dif),

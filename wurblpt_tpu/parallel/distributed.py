@@ -73,11 +73,26 @@ def local_shard_rows(height: int, mesh: Mesh) -> tuple:
     """(row_start, row_count) of this process's slice of a height-`height`
     framebuffer row-sharded over `mesh` — what the reference's rank-0-only
     full frame (mpi.hpp:97-104) becomes: every host holds only its rows;
-    use jax.experimental.multihost_utils to assemble on one host if needed."""
-    n = mesh.devices.size
-    per = -(-height // n)  # ceil
-    start = per * (jax.process_index() * jax.local_device_count())
-    return start, min(per * jax.local_device_count(), max(0, height - start))
+    use jax.experimental.multihost_utils to assemble on one host if needed.
+
+    Derived from the mesh's ACTUAL device order (not process_index *
+    local_device_count), so subset meshes (measure_scaling's all_devices[:n])
+    and heterogeneous hosts get correct ranges; requires this process's
+    devices to be contiguous in the mesh (make_global_mesh guarantees it)."""
+    flat = mesh.devices.reshape(-1)
+    n = flat.size
+    per = -(-height // n)  # ceil rows per device
+    pid = jax.process_index()
+    mine = [i for i, dev in enumerate(flat) if dev.process_index == pid]
+    if not mine:
+        return 0, 0
+    if mine != list(range(mine[0], mine[0] + len(mine))):
+        raise ValueError(
+            "local_shard_rows: this process's devices are not contiguous in "
+            "the mesh; shard the framebuffer with explicit device order")
+    start = min(per * mine[0], height)
+    stop = min(per * (mine[-1] + 1), height)
+    return start, max(0, stop - start)
 
 
 def measure_scaling(

@@ -29,11 +29,23 @@ from .bsdf import SceneStatic
 from .camera import CameraConfig, CameraParams, camera_rays, camera_space_to_image_space, world_to_camera
 from .intersect import BIG, assemble_hit, scene_raw_hit
 
+# All 20 reference channels (wurblpt.hpp:456-476) + hit_mask:
+#   bits 0-4:  world-space position / geometry normal / geometry tangent /
+#              material (normal-mapped) normal / material tangent
+#   bits 5-9:  the same five in camera space
+#   bits 10-12: depth, distance, texcoords
+#   bits 13-18: world/camera/pixel flow to prev/next frame
+#   bit 19:    material index
 ALL_AOVS = (
-    "world_position", "camera_position", "geometry_normal", "material_normal",
-    "tangent", "depth", "distance", "texcoords", "material_index", "hit_mask",
+    "world_position", "geometry_normal", "geometry_tangent",
+    "material_normal", "material_tangent",
+    "camera_position", "camera_geometry_normal", "camera_geometry_tangent",
+    "camera_material_normal", "camera_material_tangent",
+    "depth", "distance", "texcoords", "material_index", "hit_mask",
     "world_flow_prev", "world_flow_next", "camera_flow_prev", "camera_flow_next",
     "pixel_flow_prev", "pixel_flow_next",
+    # back-compat alias for geometry_tangent
+    "tangent",
 )
 
 
@@ -100,29 +112,55 @@ def get_ground_truth(
         put("world_position", jnp.where(hitf[..., None], hr.position, 0.0))
     if "camera_position" in aovs:
         put("camera_position", jnp.where(hitf[..., None], world_to_camera(cam, hr.position), 0.0))
-    if "geometry_normal" in aovs:
-        put("geometry_normal", jnp.where(hitf[..., None], hr.geom_normal, 0.0))
-    if "material_normal" in aovs:
-        # Normal-mapped shading normal (wurblpt.hpp:681 via tangentSpaceAt);
-        # without a normal map this equals the interpolated shading normal.
+
+    # Material (normal-mapped) shading frame (wurblpt.hpp:681 via
+    # tangentSpaceAt): without a normal map the material normal equals the
+    # interpolated shading normal, and the material tangent is the geometry
+    # tangent re-orthogonalized against it.
+    from ..core.vecmath import dot as _dot, normalize as _normalize
+
+    mat_nrm = hr.normal
+    need_mat = any(a in aovs for a in (
+        "material_normal", "material_tangent",
+        "camera_material_normal", "camera_material_tangent"))
+    if need_mat and static.has_textures:
         from .texture import sample_texture
 
-        nrm = hr.normal
-        if static.has_textures:
-            ntex = scene.materials.normal_tex[hr.mat]
-            has_nm = ntex >= 0
-            tex_n = sample_texture(scene.textures, jnp.maximum(ntex, 0), hr.uv)[..., :3]
-            tex_n = tex_n * 2.0 - 1.0
-            from ..core.onb import onb_from_normal_tangent, to_world
+        ntex = scene.materials.normal_tex[hr.mat]
+        has_nm = ntex >= 0
+        tex_n = sample_texture(scene.textures, jnp.maximum(ntex, 0), hr.uv)[..., :3]
+        tex_n = tex_n * 2.0 - 1.0
+        from ..core.onb import onb_from_normal_tangent, to_world
 
-            tb, bb = onb_from_normal_tangent(hr.normal, hr.tangent)
-            mapped = to_world(tex_n, tb, bb, hr.normal)
-            from ..core.vecmath import normalize
+        tb, bb = onb_from_normal_tangent(hr.normal, hr.tangent)
+        mapped = to_world(tex_n, tb, bb, hr.normal)
+        mat_nrm = jnp.where(has_nm[..., None], _normalize(mapped), mat_nrm)
+    mat_tan = _normalize(
+        hr.tangent - _dot(hr.tangent, mat_nrm, keepdims=True) * mat_nrm)
 
-            nrm = jnp.where(has_nm[..., None], normalize(mapped), nrm)
-        put("material_normal", jnp.where(hitf[..., None], nrm, 0.0))
-    if "tangent" in aovs:
-        put("tangent", jnp.where(hitf[..., None], hr.tangent, 0.0))
+    # Direction rotation into the camera frame (rotation only, no
+    # translation/scale — normals/tangents are directions).
+    def to_cam_dir(v):
+        return quat_rotate(quat_conjugate(cam.transformation.rotation), v)
+
+    for name, vec in (
+        ("geometry_normal", hr.geom_normal),
+        ("geometry_tangent", hr.tangent),
+        ("tangent", hr.tangent),            # back-compat alias
+        ("material_normal", mat_nrm),
+        ("material_tangent", mat_tan),
+    ):
+        if name in aovs:
+            put(name, jnp.where(hitf[..., None], vec, 0.0))
+    for name, vec in (
+        ("camera_geometry_normal", hr.geom_normal),
+        ("camera_geometry_tangent", hr.tangent),
+        ("camera_material_normal", mat_nrm),
+        ("camera_material_tangent", mat_tan),
+    ):
+        if name in aovs:
+            put(name, jnp.where(hitf[..., None], to_cam_dir(vec), 0.0))
+
     if "depth" in aovs:
         p_cam = world_to_camera(cam, hr.position)
         put("depth", jnp.where(hitf, -p_cam[..., 2], 0.0))

@@ -130,14 +130,28 @@ def distort_normalized(cam: CameraParams, cfg: CameraConfig, xy):
 def undistort_normalized(cam: CameraParams, cfg: CameraConfig, xy):
     """Inverse distortion on normalized coords.
 
-    OPENCV / RADIAL_AND_PLANAR: fixed-point iteration (the reference iterates
-    up to 256 times to 0.001 px, optics.hpp:279-308; we run a fixed count so the
-    loop is compile-time static). RADIAL_ONLY: Drap & Lefevre exact inverse
-    series truncated at 4 terms (optics.hpp:269-278).
+    RADIAL_AND_PLANAR: closed-form first-order inverse (optics.hpp:251-268).
+    RADIAL_ONLY: Drap & Lefevre exact inverse series truncated at 4 terms
+    (optics.hpp:269-278). OPENCV: fixed-point iteration (the reference iterates
+    up to 256 times to 0.001 px, optics.hpp:279-308; we run a fixed count so
+    the loop is compile-time static).
     """
     if cfg.distortion == DistortionModel.NONE:
         return xy
     k = cam.dist_k
+    if cfg.distortion == DistortionModel.RADIAL_AND_PLANAR:
+        # Closed-form first-order inverse (WSCG 2018 model, optics.hpp:251-268):
+        # one implicit-function step: u = x - J^-1 * d(x), with the Jacobian's
+        # trace approximated by (4 k1 r^2 + 6 k2 r^4 + 8 p1 y + 8 p2 x + 1).
+        x, y = xy[..., 0], xy[..., 1]
+        p1, p2 = cam.dist_p[0], cam.dist_p[1]
+        r2 = x * x + y * y
+        r4 = r2 * r2
+        d1 = k[0] * r2 + k[1] * r4
+        d2 = 1.0 / (4.0 * k[0] * r2 + 6.0 * k[1] * r4 + 8.0 * p1 * y + 8.0 * p2 * x + 1.0)
+        ux = x - d2 * (d1 * x + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x))
+        uy = y - d2 * (d1 * y + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y)
+        return jnp.stack([ux, uy], axis=-1)
     if cfg.distortion == DistortionModel.RADIAL_ONLY:
         # Inverse polynomial coefficients (Drap-Lefevre): b1=-k1, b2=3k1^2-k2, ...
         k1, k2, k3 = k[0], k[1], k[2]
@@ -251,9 +265,13 @@ def camera_space_to_image_space(cam: CameraParams, cfg: CameraConfig, p_cam, wid
     by the optical-flow ground truth. Returns [N,2] pixels (may be off-screen)."""
     if cfg.surround == SurroundMode.OFF:
         z = jnp.minimum(p_cam[..., 2], -1e-6)
+        # Inverse of camera_rays: d_cam = [ (px-cx)/fx, -(py-cy)/fy, -1 ], so
+        # the normalized image coords of p are (-x/z, y/z) — note y/z, NOT
+        # -y/z (a flip here breaks getRay <-> reprojection round trips and
+        # every pixel-flow AOV; wurblpt.hpp:709 asserts this consistency).
         nx = -p_cam[..., 0] / z
         ny = p_cam[..., 1] / z
-        dist = distort_normalized(cam, cfg, jnp.stack([nx, -ny], axis=-1))
+        dist = distort_normalized(cam, cfg, jnp.stack([nx, ny], axis=-1))
         px = dist[..., 0] * cam.focal_px[0] + cam.center_px[0]
         py = dist[..., 1] * cam.focal_px[1] + cam.center_px[1]
         return jnp.stack([px, py], axis=-1)

@@ -44,8 +44,8 @@ from .bsdf import (
 )
 from .camera import CameraConfig, CameraParams, camera_rays
 from .envmap import env_has_importance, env_pdf, env_radiance, env_sample
-from .intersect import BIG, assemble_hit, scene_raw_hit
-from .lights import lights_pdf_sum, lights_sample
+from .intersect import BIG, assemble_hit, scene_any_hit, scene_raw_hit
+from .lights import lights_pdf_multi, lights_sample
 from .media import apply_media
 from .sensor import SensorEvent
 from .texture import material_emissive
@@ -82,6 +82,7 @@ class _LoopState(NamedTuple):
     opt_len: jnp.ndarray
     prev_pdf: jnp.ndarray       # pdf of previous RANDOM bsdf sample (0 if none)
     prev_random: jnp.ndarray    # bool: previous scatter was pdf-sampled
+    prev_light_pdf: jnp.ndarray  # light-mixture pdf of the previous bsdf sample
     stats: jnp.ndarray          # [2] int32: (closest casts, total casts incl. shadow)
 
 
@@ -194,6 +195,7 @@ def trace_paths(
         opt_len=jnp.zeros((n, 4)),
         prev_pdf=jnp.zeros((n,)),
         prev_random=jnp.zeros((n,), bool),
+        prev_light_pdf=jnp.zeros((n,)),
         stats=jnp.zeros((2,), jnp.int32),
     )
 
@@ -304,11 +306,14 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
         opt_len = jnp.where(hit[..., None], st.opt_len + t[..., None] * st.ior, st.opt_len)
 
         # ---- 4. emitted with MIS weight (wurblpt.hpp:160-163, 181-185) ----
+        # The light-mixture pdf of THIS ray was already evaluated last bounce
+        # (st.prev_light_pdf carries lights_pdf_multi of the bsdf sample from
+        # its origin) — the reference re-evaluates the O(L) sum here
+        # (wurblpt.hpp:182-184); we pay it once per bounce instead of twice.
         e = emitted(scene, static, hr, -st.d)
         if has_lights:
-            pdf_l = lights_pdf_sum(scene, st.o, st.d, frames=lframes)
             w_emit = jnp.where(
-                st.prev_random, power_heuristic(st.prev_pdf, pdf_l), 1.0
+                st.prev_random, power_heuristic(st.prev_pdf, st.prev_light_pdf), 1.0
             )
         else:
             w_emit = jnp.ones((n,))
@@ -336,16 +341,38 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
             ldir, lprim, ldist, lpick = lights_sample(
                 scene, hr.position, u3, frames=lframes
             )
-            pdf_light = lights_pdf_sum(scene, hr.position, ldir, frames=lframes)
-            f_l, pdf_b = bsdf_eval(scene, static, hr, st.d, ldir)
-            # visibility + blocker identity check (wurblpt.hpp:203-217);
-            # media block shadow rays stochastically (salt_ctx=1).
-            st_t, st_prim, _, _, _, _ = cast(
-                hr.position, ldir, jnp.full((n,), params.min_hit_distance),
-                pixel_id, sample_id, k, 1
+            # ONE light-mixture evaluation for BOTH directions needing it at
+            # this bounce: the NEE direction (this branch's pdf) and the bsdf
+            # sample (next bounce's emitted-MIS weight, carried in state).
+            pdf_pair = lights_pdf_multi(
+                scene, hr.position,
+                jnp.stack([ldir, sr.direction], axis=1), frames=lframes
             )
-            visible = st_prim == lprim
-            st_t_safe = jnp.where(st_prim >= 0, st_t, 1.0)  # miss -> finite
+            pdf_light, light_pdf_next = pdf_pair[:, 0], pdf_pair[:, 1]
+            f_l, pdf_b = bsdf_eval(scene, static, hr, st.d, ldir)
+            if static.has_media:
+                # Media block shadow rays stochastically (salt_ctx=1): need the
+                # closest blocker segment, keep the identity-check path.
+                st_t, st_prim, _, _, _, _ = cast(
+                    hr.position, ldir, jnp.full((n,), params.min_hit_distance),
+                    pixel_id, sample_id, k, 1
+                )
+                visible = st_prim == lprim
+                st_t = jnp.where(st_prim >= 0, st_t, ldist)
+            else:
+                # ANY-hit shortened at the sampled light's expected distance:
+                # "no blocker strictly before the light" is exactly the
+                # reference's directHR.hitable == hotSpots[i] (wurblpt.hpp:
+                # 203-217) — the closest hit itself is never needed.
+                t_vis = jnp.maximum(ldist * (1.0 - 3e-4),
+                                    params.min_hit_distance)
+                occluded = scene_any_hit(
+                    scene, hr.position, ldir,
+                    jnp.full((n,), params.min_hit_distance), t_vis,
+                    anim_ctx=anim_ctx, ms=ms,
+                )
+                visible = ~occluded
+                st_t = ldist
             if lframes is not None:
                 rows = jnp.arange(n)
                 pick_frame = (lframes[0][rows, lpick], lframes[1][rows, lpick])
@@ -353,7 +380,7 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
                 pick_frame = None
             Le = _light_emitted_at(
                 scene, static, jnp.maximum(lprim, 0),
-                hr.position + ldir * st_t_safe[..., None], -ldir,
+                hr.position + ldir * st_t[..., None], -ldir,
                 frame=pick_frame,
             )
             # Detached-sampling estimator: the pdf and MIS weight are treated
@@ -388,11 +415,18 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
             ue = uniform4(pixel_id, sample_id, k, Salt.ENVMAP_SAMPLE)[..., :3]
             edir, epdf = env_sample(scene.envmap, ue)
             f_e, pdf_be = bsdf_eval(scene, static, hr, st.d, edir)
-            et, eprim, _, _, _, _ = cast(
-                hr.position, edir, jnp.full((n,), params.min_hit_distance),
-                pixel_id, sample_id, k, 2
-            )
-            unoccluded = eprim < 0
+            if static.has_media:
+                et, eprim, _, _, _, _ = cast(
+                    hr.position, edir, jnp.full((n,), params.min_hit_distance),
+                    pixel_id, sample_id, k, 2
+                )
+                unoccluded = eprim < 0
+            else:
+                unoccluded = ~scene_any_hit(
+                    scene, hr.position, edir,
+                    jnp.full((n,), params.min_hit_distance), jnp.full((n,), BIG),
+                    anim_ctx=anim_ctx, ms=ms,
+                )
             L_e = env_radiance(scene.envmap, edir)
             w_e = power_heuristic(epdf, pdf_be)
             ok_e = is_random & unoccluded & (epdf > 1e-12)
@@ -454,6 +488,10 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
             opt_len=opt_len,
             prev_pdf=jnp.where(is_random, sr.pdf, 0.0),
             prev_random=is_random,
+            prev_light_pdf=(
+                jnp.where(is_random, light_pdf_next, 0.0)
+                if has_lights else st.prev_light_pdf
+            ),
             stats=stats,
         )
 
@@ -566,6 +604,7 @@ def render_frame_wavefront(
             opt_len=jnp.zeros((L, 4)),
             prev_pdf=jnp.zeros((L,)),
             prev_random=jnp.zeros((L,), bool),
+            prev_light_pdf=jnp.zeros((L,)),
             stats=jnp.zeros((2,), jnp.int32),
         )
         init = (init_ls, jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32))
@@ -609,6 +648,7 @@ def render_frame_wavefront(
                 opt_len=jnp.where(sel, 0.0, ls.opt_len),
                 prev_pdf=jnp.where(need, 0.0, ls.prev_pdf),
                 prev_random=jnp.where(need, False, ls.prev_random),
+                prev_light_pdf=jnp.where(need, 0.0, ls.prev_light_pdf),
             )
             k_next = k_next + need.astype(jnp.int32)
             # --- extend every live path by one bounce ------------------------

@@ -8,11 +8,14 @@ pipelines well; a `lax.fori_loop` over tiles keeps peak memory bounded. For scen
 beyond ~100k primitives the threaded-BVH path (:mod:`wurblpt_tpu.accel`) culls
 tiles first.
 
-Triangle test: Moller-Trumbore on precomputed (p0, e1, e2). The reference uses
-Woop's watertight test with a double-precision fallback (hitable_triangle.hpp:
-240-250); TPUs have no fast f64, so we keep the scaled-epsilon MT test — parity
-holds on the benchmark scenes and a compensated-arithmetic edge re-test is a
-planned upgrade (SURVEY.md section 7 "hard parts").
+Triangle tests: `watertight_tri` implements Woop's watertight test with the
+reference's f64 edge fallback re-expressed as two-product-compensated f32
+(hitable_triangle.hpp:189-274; SURVEY.md section 7 "watertight without
+doubles") — it is the test used by the BVH leaf path (accel/traverse), which
+serves every mesh-scale scene. The Moller-Trumbore tile test remains for the
+brute-force sweep and the MXU matmul intersector, whose single-matmul
+formulation is inherently MT-shaped; small scenes that route there have no
+shared-edge meshes of consequence, and parity holds on the benchmark scenes.
 
 All functions are differentiable; hit distances and barycentrics carry gradients
 to the vertex data.
@@ -23,13 +26,17 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..core.onb import onb_from_normal
 from ..core.vecmath import cross, dot, normalize, safe_sqrt
 from ..scene.ir import SceneArrays, Triangles
 
-BIG = jnp.float32(3.0e37)
+# Host scalar, NOT jnp: a module-level device array becomes a hoisted
+# const_arg in every program that closes over it (jax 0.9.0 drops those
+# on cross-program re-dispatch; see tests/conftest.py).
+BIG = np.float32(3.0e37)
 TRI_TILE = 1024
 PALLAS_MIN_BATCH = 524288  # standalone-cast threshold for the Pallas kernel
 
@@ -47,6 +54,99 @@ class HitRecord(NamedTuple):
     uv: jnp.ndarray         # [N, 2]
     backside: jnp.ndarray   # [N] bool
     mat: jnp.ndarray        # [N] int32
+
+
+# ---------------------------------------------------------------------------
+# Watertight triangle test (Woop/Benthin/Wald, f32 + two-product fallback)
+# ---------------------------------------------------------------------------
+
+def _two_prod(a, b):
+    """Dekker/Veltkamp exact product: a*b == p + err in f32 (no FMA needed).
+
+    TPU has no f64; the reference's double-precision edge fallback
+    (hitable_triangle.hpp:240-250) becomes error-compensated f32 (SURVEY.md
+    section 7 "watertight without doubles"). The 4097 splitter is 2^12+1 for
+    f32's 24-bit mantissa."""
+    p = a * b
+    c = jnp.float32(4097.0)
+    ac = a * c
+    ah = ac - (ac - a)
+    al = a - ah
+    bc = b * c
+    bh = bc - (bc - b)
+    bl = b - bh
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _diff_of_products(a, b, c, d):
+    """a*b - c*d with compensated f32: faithful even under catastrophic
+    cancellation (the sign is as reliable as the reference's f64 recompute)."""
+    p1, e1 = _two_prod(a, b)
+    p2, e2 = _two_prod(c, d)
+    return (p1 - p2) + (e1 - e2)
+
+
+def watertight_tri(o, d, v0, v1, v2, t_min, t_max):
+    """Watertight ray/triangle test (hitable_triangle.hpp:189-274 semantics).
+
+    o, d: [..., 3] ray (broadcast against vertex shapes); v0/v1/v2: [..., 3]
+    ABSOLUTE vertex positions (shared vertices must be bit-identical across
+    neighboring triangles for watertightness — hence Triangles.v1/v2, not
+    p0+e1). t_min/t_max broadcast to the result shape. Returns
+    (t, u, v, valid) with u, v the barycentric weights of v1, v2.
+
+    The shear/scale transform and scaled edge functions U, V, W follow Woop's
+    Listing 2; where any |edge| falls under the reference's long-double
+    epsilon the edge functions are recomputed with two-product compensation
+    instead of f64 (exact to f32 rounding of the true value).
+    """
+    ad = jnp.abs(d)
+    kz = jnp.argmax(ad, axis=-1)
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+    dz = jnp.take_along_axis(d, kz[..., None], -1)[..., 0]
+    # swap kx <-> ky when d[kz] < 0 to preserve winding
+    neg = dz < 0
+    kx, ky = jnp.where(neg, ky, kx), jnp.where(neg, kx, ky)
+    dx = jnp.take_along_axis(d, kx[..., None], -1)[..., 0]
+    dy = jnp.take_along_axis(d, ky[..., None], -1)[..., 0]
+    Sz = 1.0 / dz
+    Sx = dx * Sz
+    Sy = dy * Sz
+
+    def shear(p):
+        rel = p - o
+        pz = jnp.take_along_axis(rel, kz[..., None], -1)[..., 0]
+        px = jnp.take_along_axis(rel, kx[..., None], -1)[..., 0] - Sx * pz
+        py = jnp.take_along_axis(rel, ky[..., None], -1)[..., 0] - Sy * pz
+        return px, py, pz
+
+    Ax, Ay, Az = shear(v0)
+    Bx, By, Bz = shear(v1)
+    Cx, Cy, Cz = shear(v2)
+
+    U = Cx * By - Cy * Bx
+    V = Ax * Cy - Ay * Cx
+    W = Bx * Ay - By * Ax
+    # Reference threshold: float(epsilon_v<long double>) ~ 1.08e-19.
+    eps = jnp.float32(1.1e-19)
+    near = (jnp.abs(U) < eps) | (jnp.abs(V) < eps) | (jnp.abs(W) < eps)
+    U = jnp.where(near, _diff_of_products(Cx, By, Cy, Bx), U)
+    V = jnp.where(near, _diff_of_products(Ax, Cy, Ay, Cx), V)
+    W = jnp.where(near, _diff_of_products(Bx, Ay, By, Ax), W)
+
+    mixed = ((U < 0.0) | (V < 0.0) | (W < 0.0)) & ((U > 0.0) | (V > 0.0) | (W > 0.0))
+    det = U + V + W
+    Tn = U * (Sz * Az) + V * (Sz * Bz) + W * (Sz * Cz)
+    ds = jnp.sign(det)
+    in_range = (Tn * ds > t_min * det * ds) & (Tn * ds < t_max * det * ds)
+    valid = (~mixed) & (det != 0.0) & in_range
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    t = Tn * inv_det
+    u = V * inv_det
+    v = W * inv_det
+    return jnp.where(valid, t, BIG), u, v, valid
 
 
 # ---------------------------------------------------------------------------
@@ -245,11 +345,80 @@ def scene_raw_hit(scene: SceneArrays, o, d, t_min, t_max, anim_ctx=None, ms=None
     return best
 
 
-def scene_any_hit(scene: SceneArrays, o, d, t_min, t_max):
-    """Occlusion test (shadow rays). Returns (hit_t, hit_prim): nearest hit like
-    the reference's visibility check, which needs the identity of the blocker
-    (wurblpt.hpp:203-217 checks directHR.hitable == hotSpots[i])."""
-    return scene_raw_hit(scene, o, d, t_min, t_max)
+def _any_tris(o, d, tris: Triangles, t_min, t_max, obj_rays=None):
+    """True where any triangle is hit in (t_min, t_max) — validity-only fold."""
+    n_tri = tris.count
+    n = o.shape[0]
+    if n_tri == 0:
+        return jnp.zeros((n,), bool)
+    tile = min(TRI_TILE, -(-n_tri // 128) * 128)
+    n_tiles = -(-n_tri // tile)
+    pad = n_tiles * tile - n_tri
+
+    def padded(x):
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+    p0 = padded(tris.p0).reshape(n_tiles, tile, 3)
+    e1 = padded(tris.e1).reshape(n_tiles, tile, 3)
+    e2 = padded(tris.e2).reshape(n_tiles, tile, 3)
+    aid = padded(tris.anim).reshape(n_tiles, tile) if obj_rays is not None else None
+
+    def body(i, occ):
+        if obj_rays is None:
+            o_i, d_i = o, d
+        else:
+            o_a, d_a = obj_rays
+            o_i = jnp.take_along_axis(o_a, aid[i][None, :, None], axis=1)
+            d_i = jnp.take_along_axis(d_a, aid[i][None, :, None], axis=1)
+        t, _, _, valid = ray_tri_tile(o_i, d_i, p0[i], e1[i], e2[i], t_min, t_max)
+        tri_ids = i * tile + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        valid &= tri_ids < n_tri
+        return occ | jnp.any(valid, axis=1)
+
+    if n_tiles == 1:
+        return body(0, jnp.zeros((n,), bool))
+    return jax.lax.fori_loop(0, n_tiles, body, jnp.zeros((n,), bool))
+
+
+def _any_spheres(o, d, scene: SceneArrays, t_min, t_max, obj_rays=None):
+    n_sph = scene.spheres.count
+    n = o.shape[0]
+    if n_sph == 0:
+        return jnp.zeros((n,), bool)
+    if obj_rays is not None:
+        o_a, d_a = obj_rays
+        aid = scene.spheres.anim
+        o = jnp.take_along_axis(o_a, aid[None, :, None], axis=1)
+        d = jnp.take_along_axis(d_a, aid[None, :, None], axis=1)
+    _, valid = ray_sphere_tile(
+        o, d, scene.spheres.center, scene.spheres.radius, t_min, t_max
+    )
+    return jnp.any(valid, axis=1)
+
+
+def scene_any_hit(scene: SceneArrays, o, d, t_min, t_max, anim_ctx=None, ms=None):
+    """Occlusion test (shadow rays): True where ANY primitive is hit in
+    (t_min, t_max). Callers bound t_max at the sampled light's expected hit
+    distance (lights_sample t_expected) so no winner selection, attribute
+    gather, or blocker identity check is needed — the reference's
+    `directHR.hitable == hotSpots[i]` test (wurblpt.hpp:203-217) is equivalent
+    to "no hit strictly before the light". Scenes with media must use
+    scene_raw_hit + apply_media instead (stochastic medium blocking needs the
+    segment to the blocker)."""
+    if ms is not None:
+        from .intersect_mxu import mxu_any_hit
+
+        return mxu_any_hit(ms, o, d, t_min, t_max)
+    obj_rays = anim_ctx.ray_to_object(o, d) if anim_ctx is not None else None
+    if scene.bvh is not None:
+        from ..accel.traverse import bvh_any_hit
+
+        return bvh_any_hit(scene, o, d, t_min, t_max, obj_rays=obj_rays)
+    occ = _any_tris(o, d, scene.tris, t_min, t_max, obj_rays=obj_rays)
+    occ |= _any_spheres(o, d, scene, t_min, t_max, obj_rays=obj_rays)
+    return occ
 
 
 # ---------------------------------------------------------------------------

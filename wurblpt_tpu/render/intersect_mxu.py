@@ -45,13 +45,17 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..core.onb import onb_from_normal
 from ..core.vecmath import cross, dot, normalize, safe_sqrt
 from ..scene.ir import SceneArrays
 
-BIG = jnp.float32(3.0e37)
+# Host scalar, NOT jnp: a module-level device array becomes a hoisted
+# const_arg in every program that closes over it (jax 0.9.0 drops those
+# on cross-program re-dispatch; see tests/conftest.py).
+BIG = np.float32(3.0e37)
 MXU_MAX_PRIMS = 2048          # beyond this, BVH beats brute force
 _HI = jax.lax.Precision.HIGHEST
 
@@ -246,6 +250,65 @@ def mxu_closest_hit(ms: MxuScene, o, d, t_min, t_max):
     if onehot is None:
         onehot = jnp.zeros((n, max(ms.kt, 1)), bool)
     return best_t, best_prim, best_u, best_v, onehot
+
+
+def mxu_any_hit(ms: MxuScene, o, d, t_min, t_max):
+    """Occlusion test: True where ANY primitive is hit in (t_min, t_max).
+
+    Same feature matmul as `mxu_closest_hit` but the decode is a pure OR
+    reduction — no winner selection, no one-hot, no u/v division. Shadow rays
+    with a known target distance (lights_sample t_expected) use this instead
+    of paying closest-hit cost (the reference only needs the blocker when it
+    is NEARER than the light, wurblpt.hpp:203-217).
+    """
+    n = o.shape[0]
+    oc = o - ms.center
+    r = _ray_features(oc, d)
+    prod = jax.lax.dot_general(
+        r, ms.feat, (((1,), (0,)), ((), ())), precision=_HI)
+
+    occluded = jnp.zeros((n,), bool)
+    if ms.kt:
+        kt = ms.kt
+        det = prod[:, 0 * kt:1 * kt]
+        tn = prod[:, 1 * kt:2 * kt]
+        un = prod[:, 2 * kt:3 * kt]
+        vn = prod[:, 3 * kt:4 * kt]
+        s = jnp.sign(det)
+        ad = jnp.abs(det)
+        k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, kt), 1)
+        valid = (
+            (ad > 1e-12)
+            & (un * s >= 0.0)
+            & (vn * s >= 0.0)
+            & ((un + vn) * s <= ad)
+            & (tn * s > t_min[:, None] * ad)
+            & (tn * s < t_max[:, None] * ad)
+            & (k_ids < ms.n_tris)
+        )
+        occluded |= jnp.any(valid, 1)
+    if ms.ks:
+        sph0 = 4 * ms.kt
+        half_b = prod[:, sph0:sph0 + ms.ks]
+        cq = prod[:, sph0 + ms.ks:sph0 + 2 * ms.ks]
+        a = jnp.sum(d * d, -1)[:, None]
+        disc = half_b * half_b - a * cq
+        sq = safe_sqrt(disc)
+        q = -(half_b + jnp.sign(half_b) * sq)
+        t0 = q / jnp.maximum(a, 1e-20)
+        t1 = cq / jnp.where(jnp.abs(q) > 1e-20, q, 1.0)
+        tlo = jnp.minimum(t0, t1)
+        thi = jnp.maximum(t0, t1)
+        ts = jnp.where(tlo > t_min[:, None], tlo, thi)
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, (n, ms.ks), 1)
+        valids = (
+            (disc > 0.0)
+            & (ts > t_min[:, None])
+            & (ts < t_max[:, None])
+            & (j_ids < ms.n_spheres)
+        )
+        occluded |= jnp.any(valids, 1)
+    return occluded
 
 
 def mxu_tri_attrs(ms: MxuScene, onehot, u, v):

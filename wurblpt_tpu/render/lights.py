@@ -6,12 +6,23 @@ combined in the integrator as a uniform pick over hot spots whose mixture pdf is
 the average of all per-light solid-angle pdfs (``wurblpt.hpp:181-195``). Here the
 per-light pdfs are evaluated batched over a [RAYS x LIGHTS] broadcast.
 
+Cost shape: the reference evaluates the O(L) pdf sum TWICE per bounce
+(``wurblpt.hpp:182-184`` for the BSDF branch weight and ``:193-195`` for the
+NEE branch). Here both directions needing a mixture pdf at a bounce share one
+``lights_pdf_multi`` call (same origin -> `tvec`/`oc` terms computed once),
+and the BSDF-direction pdf is carried forward in the loop state so the next
+bounce's emitted-MIS weight costs nothing.
+
 ANIMATED emitters: the reference evaluates light geometry at ray time through
 the AnimationCache (hitable_triangle.hpp:405-443 uses the cached transform).
 Here, when any hot spot is animated, `light_frames` gathers each light's
 forward TRS map at each ray's time from the per-trace AnimCtx, and all
 pdf/sample/emission math runs on the world-space geometry of that instant —
 moving lights keep their full NEE contribution and MIS stays consistent.
+Animated SPHERE emitters assume uniform animation scale (the radius is scaled
+by the mean column norm of the forward map); anisotropic animated scale would
+bias the cone pdf slightly — same limitation as the reference's animated
+sphere (hitable_sphere.hpp scales radius by a scalar).
 """
 
 from __future__ import annotations
@@ -68,10 +79,10 @@ def _light_tri_data(scene: SceneArrays, frames):
     T = scene.tris
     p0, e1, e2 = T.p0[ti][None], T.e1[ti][None], T.e2[ti][None]
     if frames is not None:
-        m, t = frames
-        p0 = jnp.einsum("nlij,blj->nli", m, p0) + t
-        e1 = jnp.einsum("nlij,blj->nli", m, e1)
-        e2 = jnp.einsum("nlij,blj->nli", m, e2)
+        m, t = frames  # m [N,L,3,3], t [N,L,3]
+        p0 = jnp.einsum("nlij,nlj->nli", m, jnp.broadcast_to(p0, m.shape[:2] + (3,))) + t
+        e1 = jnp.einsum("nlij,nlj->nli", m, jnp.broadcast_to(e1, m.shape[:2] + (3,)))
+        e2 = jnp.einsum("nlij,nlj->nli", m, jnp.broadcast_to(e2, m.shape[:2] + (3,)))
     return is_tri, p0, e1, e2
 
 
@@ -86,7 +97,9 @@ def _light_sphere_data(scene: SceneArrays, frames):
     center, radius = S.center[si][None], S.radius[si][None]
     if frames is not None:
         m, t = frames
-        center = jnp.einsum("nlij,blj->nli", m, center) + t
+        center = jnp.einsum(
+            "nlij,nlj->nli", m, jnp.broadcast_to(center, m.shape[:2] + (3,))
+        ) + t
         # Sphere radius under TRS scale (uniform scale assumed, like the
         # reference's animated sphere): |M column| = s.
         s_mean = jnp.linalg.norm(m, axis=-2).mean(-1)
@@ -94,63 +107,116 @@ def _light_sphere_data(scene: SceneArrays, frames):
     return center, radius
 
 
-def lights_pdf_sum(
-    scene: SceneArrays, origin, direction, frames=None
+def light_pick_probs(scene: SceneArrays) -> Optional[jnp.ndarray]:
+    """[L] normalized pick probability per hot spot, or None for uniform.
+
+    Uniform picking matches the reference (wurblpt.hpp:187). Scenes with many
+    emitters of very different power set `light_weights` on SceneArrays via the
+    builder; the mixture pdf then becomes sum(w_i * pdf_i) instead of
+    (1/L) * sum(pdf_i) — still an unbiased estimator, lower variance.
+    """
+    w = getattr(scene, "light_weights", None)
+    return w
+
+
+def lights_pdf_multi(
+    scene: SceneArrays, origin, dirs, frames=None
 ) -> jnp.ndarray:
-    """Mixture pdf (1/L * sum of per-light solid-angle pdfs) of `direction` from
-    `origin` (wurblpt.hpp:181-185 / :193-195). origin/direction: [N,3]."""
+    """Mixture pdf of each of K directions from `origin`.
+
+    origin: [N,3]; dirs: [N,K,3]. Returns [N,K]. The mixture is
+    sum_i w_i * pdf_i with w_i the pick probability (uniform 1/L by default,
+    wurblpt.hpp:181-185 / :193-195). Terms independent of the direction
+    (`tvec`, `oc`, areas, cone angles) are computed once and shared across K.
+    """
     L = scene.light_prims.shape[0]
+    N, K = dirs.shape[0], dirs.shape[1]
     if L == 0:
-        return jnp.zeros(origin.shape[:-1])
+        return jnp.zeros((N, K))
     is_tri, p0, e1, e2 = _light_tri_data(scene, frames)
     center, radius = _light_sphere_data(scene, frames)
 
-    o = origin[:, None, :]
-    d = direction[:, None, :]
+    o = origin[:, None, None, :]          # [N,1,1,3]
+    d = dirs[:, :, None, :]               # [N,K,1,3]
+    p0b, e1b, e2b = p0[:, None], e1[:, None], e2[:, None]        # [B,1,L,3]
 
-    # Triangle pdf: intersect; pdf = t^2 / (|cos| * area) (hitable_triangle.hpp:405-423).
-    pvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
-    tvec = o - p0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-    tri_hit = (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4)
-    fn = jnp.cross(e1, e2)  # [B,L,3], length = 2*area
+    # --- triangles: shared direction-independent terms -----------------------
+    tvec = o - p0b                                               # [N,1,L,3]
+    fn = jnp.cross(e1b, e2b)                                     # [B,1,L,3]
     fn_len = jnp.linalg.norm(fn, axis=-1)
     area = 0.5 * fn_len
-    cos_l = jnp.abs(jnp.sum(d * (fn / jnp.maximum(fn_len, 1e-20)[..., None]), axis=-1))
-    pdf_tri = jnp.where(
-        tri_hit, t * t / jnp.maximum(cos_l * area, 1e-12), 0.0
-    )
+    n_unit = fn / jnp.maximum(fn_len, 1e-20)[..., None]
+    qvec = jnp.cross(tvec, e1b)                                  # [N,1,L,3]
 
-    # Sphere pdf: uniform cone (hitable_sphere.hpp:155-219).
-    oc = center - o
+    # --- triangles: per-direction -------------------------------------------
+    pvec = jnp.cross(d, e2b)                                     # [N,K,L,3]
+    det = jnp.sum(e1b * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2b * qvec, axis=-1) * inv_det
+    tri_hit = (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4)
+    cos_l = jnp.abs(jnp.sum(d * n_unit, axis=-1))
+    # Triangle pdf: t^2 / (|cos| * area) (hitable_triangle.hpp:405-423).
+    pdf_tri = jnp.where(tri_hit, t * t / jnp.maximum(cos_l * area, 1e-12), 0.0)
+
+    # --- spheres: shared ------------------------------------------------------
+    cb, rb = center[:, None], radius[:, None]                    # [B,1,L,*]
+    oc = cb - o                                                  # [N,1,L,3]
     dist2 = jnp.sum(oc * oc, axis=-1)
-    r2 = radius * radius
+    r2 = rb * rb
     outside = dist2 > r2
     sin2_max = jnp.clip(r2 / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
     cos_max = safe_sqrt(1.0 - sin2_max)
     solid = _TWO_PI * (1.0 - cos_max)
-    cos_dir = jnp.sum(d * oc, axis=-1) / jnp.maximum(jnp.sqrt(dist2), 1e-12)
-    in_cone = cos_dir >= cos_max
-    pdf_sph = jnp.where(outside & in_cone & (solid > 1e-12), 1.0 / jnp.maximum(solid, 1e-12), 0.0)
+    inv_dist = 1.0 / jnp.maximum(jnp.sqrt(dist2), 1e-12)
 
-    per_light = jnp.where(is_tri[None, :], pdf_tri, pdf_sph)
-    return jnp.sum(per_light, axis=1) / L
+    # --- spheres: per-direction (uniform cone, hitable_sphere.hpp:155-219) ---
+    cos_dir = jnp.sum(d * oc, axis=-1) * inv_dist
+    in_cone = cos_dir >= cos_max
+    pdf_sph = jnp.where(
+        outside & in_cone & (solid > 1e-12), 1.0 / jnp.maximum(solid, 1e-12), 0.0
+    )
+
+    per_light = jnp.where(is_tri[None, None, :], pdf_tri, pdf_sph)  # [N,K,L]
+    w = light_pick_probs(scene)
+    if w is None:
+        return jnp.sum(per_light, axis=-1) / L
+    return jnp.sum(per_light * w[None, None, :], axis=-1)
+
+
+def lights_pdf_sum(
+    scene: SceneArrays, origin, direction, frames=None
+) -> jnp.ndarray:
+    """Mixture pdf of a single direction per ray (K=1 wrapper)."""
+    return lights_pdf_multi(scene, origin, direction[:, None, :], frames=frames)[:, 0]
 
 
 def lights_sample(
     scene: SceneArrays, origin, u3, frames=None
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Pick a hot spot uniformly and sample a direction toward it
-    (wurblpt.hpp:187-190). Returns (direction [N,3], picked_prim [N],
-    dist_hint [N], pick [N] light-list index). The mixture pdf must be
-    computed via lights_pdf_sum."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pick a hot spot and sample a direction toward it (wurblpt.hpp:187-190).
+
+    Returns (direction [N,3], picked_prim [N], t_expected [N], pick [N]):
+    `t_expected` is the EXACT hit distance along `direction` to the picked
+    light's surface (triangles: distance to the sampled point; spheres: the
+    near root of the cone-sampled ray's quadratic) — an occlusion test may
+    terminate at t < t_expected instead of finding the closest hit. The
+    mixture pdf must be computed via lights_pdf_multi/lights_pdf_sum.
+
+    Picking is uniform by default; when the builder attached power weights
+    (`light_weights` + alias table) the pick is O(1) power-proportional.
+    """
     L = scene.light_prims.shape[0]
-    pick = jnp.clip((u3[..., 0] * L).astype(jnp.int32), 0, L - 1)
+    alias_p = getattr(scene, "light_alias_prob", None)
+    if alias_p is not None and alias_p.shape[0] == L:
+        # Alias-table pick: O(1) per lane regardless of light count.
+        cell = jnp.clip((u3[..., 0] * L).astype(jnp.int32), 0, L - 1)
+        frac = u3[..., 0] * L - cell.astype(u3.dtype)
+        take_alias = frac >= alias_p[cell]
+        pick = jnp.where(take_alias, scene.light_alias_idx[cell], cell)
+    else:
+        pick = jnp.clip((u3[..., 0] * L).astype(jnp.int32), 0, L - 1)
     lp = scene.light_prims[pick]
     n_tri = scene.n_tris
     is_tri = lp < n_tri
@@ -182,7 +248,7 @@ def lights_sample(
         d_tri = jnp.zeros_like(origin)
         dist_tri = jnp.zeros(origin.shape[:-1])
 
-    # Sphere: cone sample.
+    # Sphere: cone sample; expected hit distance = near quadratic root.
     if scene.n_spheres > 0:
         si = jnp.clip(lp - n_tri, 0, scene.n_spheres - 1)
         S = scene.spheres
@@ -196,7 +262,12 @@ def lights_sample(
         sin2_max = jnp.clip(radius * radius / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
         cos_max = safe_sqrt(1.0 - sin2_max)
         d_sph = sampler.to_sphere(oc, cos_max, u3[..., 1:3])
-        dist_sph = jnp.sqrt(dist2)
+        # t_exp: ray (origin, d_sph) vs the sphere, near root. Cone sampling
+        # guarantees intersection up to roundoff; clamp the discriminant.
+        half_b = -jnp.sum(oc * d_sph, axis=-1)
+        cq = dist2 - radius * radius
+        disc = jnp.maximum(half_b * half_b - cq, 0.0)
+        dist_sph = -half_b - jnp.sqrt(disc)
     else:
         d_sph = jnp.zeros_like(origin)
         dist_sph = jnp.zeros(origin.shape[:-1])

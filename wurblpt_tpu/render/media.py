@@ -15,13 +15,17 @@ reference's one-nested-BVH-per-medium design, so overlapping media compose.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..core.rng import Salt, uniform1
 from ..core.vecmath import dot, safe_sqrt
 from ..scene.ir import MediumArrays, SceneArrays
 
-BIG = jnp.float32(3.0e37)
+# Host scalar, NOT jnp: a module-level device array becomes a hoisted
+# const_arg in every program that closes over it (jax 0.9.0 drops those
+# on cross-program re-dispatch; see tests/conftest.py).
+BIG = np.float32(3.0e37)
 _EPS = 1e-4
 
 

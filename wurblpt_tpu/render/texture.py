@@ -69,6 +69,41 @@ def _worley_noise(u, v, seed):
     return jnp.sqrt(dmin)
 
 
+def _perlin_signed(u, v, seed):
+    """Signed single-octave Perlin (texture_noise.hpp:192-237 semantics).
+
+    The reference interpolates dot products of random unit gradients at the
+    cell corners with a Hermite fade; its output is SIGNED (roughly [-0.7,
+    0.7]), unlike `_gradient_noise` which remaps to [0, 1]. Lattice hashing is
+    counter-based (no 256-entry permutation tables — a hash is cheaper than
+    three gathered tables on TPU and has no tiling period)."""
+    iu, iv = jnp.floor(u), jnp.floor(v)
+    fu, fv = u - iu, v - iv
+    iu, iv = iu.astype(jnp.int32), iv.astype(jnp.int32)
+    su = fu * fu * (3.0 - 2.0 * fu)
+    sv = fv * fv * (3.0 - 2.0 * fv)
+
+    def g(dx, dy):
+        gx, gy = _hash_grad2(iu + dx, iv + dy, seed)
+        return gx * (fu - dx) + gy * (fv - dy)
+
+    a, b, c, d = g(0, 0), g(1, 0), g(0, 1), g(1, 1)
+    return (a * (1 - su) + b * su) * (1 - sv) + (c * (1 - su) + d * su) * sv
+
+
+def _perlin_turbulence(u, v, octaves_f, gain, seed, max_octaves: int = 8):
+    """|sum_i gain^i * perlin(2^i * uv)| (texture_noise.hpp:239-251; the
+    reference fixes gain at 0.5 and does not normalize — neither do we)."""
+    total = jnp.zeros_like(u)
+    amp = jnp.ones_like(u)
+    for o in range(max_octaves):
+        active = (octaves_f > o).astype(u.dtype)
+        total = total + active * amp * _perlin_signed(
+            u * (2.0 ** o), v * (2.0 ** o), seed + o)
+        amp = amp * gain
+    return jnp.abs(total)
+
+
 def _fbm(noise_fn, u, v, octaves_f, gain, seed, max_octaves: int = 8):
     """Fixed-unrolled fractal sum; octaves_f masks active octaves per lane."""
     total = jnp.zeros_like(u)
@@ -153,7 +188,14 @@ def sample_texture(tt: TextureTable, tex_id, uv, time=None):
     noise_val = jnp.where(typ == TextureType.VALUE_NOISE, _fbm(_value_noise, nu, nv, octaves, gain, seed), noise_val)
     noise_val = jnp.where(typ == TextureType.GRADIENT_NOISE, _fbm(_gradient_noise, nu, nv, octaves, gain, seed), noise_val)
     noise_val = jnp.where(typ == TextureType.WORLEY_NOISE, _worley_noise(nu, nv, seed), noise_val)
-    noise_val = jnp.where(typ == TextureType.PERLIN_NOISE, _fbm(_gradient_noise, nu, nv, octaves, gain, seed), noise_val)
+    # PERLIN: signed single octave (texture_noise.hpp:192-237), or the abs
+    # turbulence sum when params[4] is set (:239-251).
+    perlin = jnp.where(
+        params[..., 4] > 0.5,
+        _perlin_turbulence(nu, nv, octaves, gain, seed),
+        _perlin_signed(nu, nv, seed),
+    )
+    noise_val = jnp.where(typ == TextureType.PERLIN_NOISE, perlin, noise_val)
     out = jnp.where(any_noise[..., None], noise_val[..., None], out)
 
     return out * tt.val_scale[tex_id] + tt.val_offset[tex_id]

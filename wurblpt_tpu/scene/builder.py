@@ -87,6 +87,10 @@ class NoiseTexture(Texture):
     frequency: float = 4.0
     gain: float = 0.5
     seed: int = 0
+    # PERLIN only: emit |sum_i gain^i * perlin(2^i * f * uv)| — the
+    # reference's TexturePerlinNoise::turbulence (texture_noise.hpp:239-251).
+    # False = single signed Perlin octave (::value, texture_noise.hpp:192-237).
+    turbulence: bool = False
 
 
 # ---------------------------------------------------------------------------

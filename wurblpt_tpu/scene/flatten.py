@@ -107,6 +107,7 @@ class _TextureCollector:
                 params[i, 1] = t.frequency
                 params[i, 2] = t.gain
                 params[i, 3] = float(t.seed)
+                params[i, 4] = 1.0 if t.turbulence else 0.0
             else:
                 raise TypeError(f"unknown texture type {t!r}")
 
@@ -372,6 +373,67 @@ def _swept_aabbs(amin, amax, prim_anim, scene, t0: float, t1: float, n_samples: 
     return amin, amax
 
 
+def build_alias_table(weights: np.ndarray):
+    """Vose alias-table construction (O(L)); returns (prob, alias, norm_w).
+
+    With equal weights every prob is exactly 1.0, so alias sampling is
+    bit-identical to a plain uniform pick.
+    """
+    w = np.asarray(weights, np.float64)
+    L = w.shape[0]
+    total = w.sum()
+    if not np.isfinite(total) or total <= 0.0:
+        w = np.ones((L,), np.float64)
+        total = float(L)
+    w = w / total
+    scaled = w * L
+    prob = np.ones((L,), np.float64)
+    alias = np.arange(L, dtype=np.int64)
+    small = [i for i in range(L) if scaled[i] < 1.0]
+    large = [i for i in range(L) if scaled[i] >= 1.0]
+    scaled = scaled.copy()
+    while small and large:
+        s = small.pop()
+        g = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = g
+        scaled[g] = (scaled[g] + scaled[s]) - 1.0
+        (small if scaled[g] < 1.0 else large).append(g)
+    for i in large + small:
+        prob[i] = 1.0
+    return prob.astype(_f32), alias.astype(_i32), w.astype(_f32)
+
+
+def _light_power_weights(light_ids, tri_e1, tri_e2, tri_mat, sph_r, sph_mat,
+                         n_tri, mat_typ, mat_emissive, mat_p0):
+    """Per-hot-spot emitted power: area x luminance x cone fraction.
+
+    Textured emitters (emissive constant = 1) weigh by area alone — any
+    positive weight keeps the estimator unbiased; power-proportional picking
+    just minimizes variance (SURVEY.md section 7 "NEE cost model").
+    """
+    ids = np.asarray(light_ids, np.int64)
+    is_tri = ids < n_tri
+    area = np.empty(ids.shape, np.float64)
+    mat = np.empty(ids.shape, np.int64)
+    if np.any(is_tri):
+        ti = ids[is_tri]
+        area[is_tri] = 0.5 * np.linalg.norm(
+            np.cross(tri_e1[ti], tri_e2[ti]), axis=-1)
+        mat[is_tri] = tri_mat[ti]
+    if np.any(~is_tri):
+        si = ids[~is_tri] - n_tri
+        area[~is_tri] = 4.0 * np.pi * np.asarray(sph_r)[si] ** 2
+        mat[~is_tri] = np.asarray(sph_mat)[si]
+    lum = np.maximum(mat_emissive[mat, :3].max(axis=-1), mat_emissive[mat, 3])
+    # Spot/ToF cone: emission only within the opening angle
+    # (light_spot.hpp:32-75); power scales with the cone's solid-angle share.
+    is_cone = (mat_typ[mat] == MaterialType.LIGHT_SPOT) | (
+        mat_typ[mat] == MaterialType.LIGHT_TOF)
+    cone_frac = np.where(is_cone, 0.5 * (1.0 - mat_p0[mat, 0]), 1.0)
+    return area * lum * np.maximum(cone_frac, 0.0)
+
+
 def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None,
                   t0: float = 0.0, t1: float = 0.0) -> SceneArrays:
     collector = _TextureCollector()
@@ -390,6 +452,7 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None,
 
     # --- triangles ---------------------------------------------------------
     p0s, e1s, e2s = [], [], []
+    v1s, v2s = [], []
     n0s, n1s, n2s = [], [], []
     uv0s, uv1s, uv2s = [], [], []
     t0s, t1s, t2s = [], [], []
@@ -419,6 +482,8 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None,
         nf = len(f)
         v0, v1, v2 = pos[f[:, 0]], pos[f[:, 1]], pos[f[:, 2]]
         p0s.append(v0)
+        v1s.append(v1)
+        v2s.append(v2)
         e1s.append(v1 - v0)
         e2s.append(v2 - v0)
         n0s.append(nrm[f[:, 0]])
@@ -464,12 +529,15 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None,
             mat=jnp.asarray(np.concatenate(mats)),
             anim=jnp.asarray(np.concatenate(anims_idx)),
             flags=jnp.asarray(np.concatenate(flags_list)),
+            v1=jnp.asarray(np.concatenate(v1s).astype(_f32)),
+            v2=jnp.asarray(np.concatenate(v2s).astype(_f32)),
         )
     else:
         z3 = jnp.zeros((0, 3), jnp.float32)
         z2 = jnp.zeros((0, 2), jnp.float32)
         zi = jnp.zeros((0,), jnp.int32)
-        tris = Triangles(z3, z3, z3, z3, z3, z3, z2, z2, z2, z3, z3, z3, zi, zi, zi)
+        tris = Triangles(z3, z3, z3, z3, z3, z3, z2, z2, z2, z3, z3, z3, zi, zi, zi,
+                         v1=z3, v2=z3)
 
     # --- spheres -----------------------------------------------------------
     sc, sr, sm, sa = [], [], [], []
@@ -576,6 +644,22 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None,
 
     envmap = build_envmap_arrays(scene._envmap)
 
+    # --- light pick table (power-proportional, uniform when powers match) ----
+    light_ids = np.asarray(sorted(set(light_prims)), _i32)
+    lw = lap = lai = None
+    if light_ids.size > 0:
+        powers = _light_power_weights(
+            light_ids,
+            np.concatenate(e1s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
+            np.concatenate(e2s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
+            np.concatenate(mats) if tri_count else np.zeros((0,), _i32),
+            np.asarray(sr, _f32), np.asarray(sm, _i32), tri_count,
+            np.asarray(materials.typ), np.asarray(materials.emissive),
+            np.asarray(materials.p0),
+        )
+        prob, alias, w = build_alias_table(powers)
+        lw, lap, lai = jnp.asarray(w), jnp.asarray(prob), jnp.asarray(alias)
+
     return SceneArrays(
         tris=tris,
         spheres=spheres,
@@ -584,9 +668,12 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None,
         anims=anims,
         bvh=bvh,
         envmap=envmap,
-        light_prims=jnp.asarray(np.asarray(sorted(set(light_prims)), _i32)),
+        light_prims=jnp.asarray(light_ids),
         media=media,
         rgl=_stack_rgl(scene),
+        light_weights=lw,
+        light_alias_prob=lap,
+        light_alias_idx=lai,
     )
 
 

@@ -77,6 +77,11 @@ class Triangles(NamedTuple):
     mat: jnp.ndarray       # [T] int32 material index
     anim: jnp.ndarray      # [T] int32 animation index (0 = static identity)
     flags: jnp.ndarray     # [T] int32: bit0 has_texcoords, bit1 has_tangents
+    # Absolute vertex positions for the WATERTIGHT intersection path
+    # (intersect.watertight_tri): shared vertices must be bit-identical across
+    # neighboring triangles, which p0 + e1 (rounded) cannot guarantee.
+    v1: jnp.ndarray = None  # [T, 3]
+    v2: jnp.ndarray = None  # [T, 3]
 
     @property
     def count(self):
@@ -177,7 +182,7 @@ class AnimTable(NamedTuple):
 
 
 class BVHArrays(NamedTuple):
-    """Flattened threaded BVH (hit-link / miss-link), SoA.
+    """Flattened threaded BVH (hit-link / miss-link), SoA, gather-packed.
 
     The reference flattens its SAH tree into 32-byte nodes traversed with an
     explicit stack (``bvh.hpp:217-311``). For SIMD wavefront traversal we instead
@@ -185,14 +190,16 @@ class BVHArrays(NamedTuple):
     first child for inner nodes, own miss link for leaves after intersecting
     primitives) and on miss (`miss_next`). Traversal is then a branch-free
     while-loop without any per-ray stack.
+
+    Layout is packed for ONE f32 gather + ONE i32 gather per traversal step
+    (five separate row gathers per step measured 27 s/frame on the 100k-tri
+    bench scene). The leaf width K is static from `leaf_prims.shape[1]`, so
+    the leaf tile size is a build-time tuning knob, not a code constant.
     """
 
-    node_min: jnp.ndarray     # [N, 3]
-    node_max: jnp.ndarray     # [N, 3]
-    prim_start: jnp.ndarray   # [N] int32 (leaf: first index into prim_order; inner: -1)
-    prim_count: jnp.ndarray   # [N] int32 (0 for inner nodes)
-    miss_next: jnp.ndarray    # [N] int32 (-1 = done)
-    prim_order: jnp.ndarray   # [P] int32 global prim ids in leaf order
+    node_f: jnp.ndarray      # [N, 6] f32: min xyz, max xyz
+    node_i: jnp.ndarray      # [N, 2] int32: (leaf_row | -1 inner, miss_next)
+    leaf_prims: jnp.ndarray  # [L, K] int32 global prim ids, padded -1
 
 
 class EnvMapArrays(NamedTuple):
@@ -268,6 +275,15 @@ class SceneArrays(NamedTuple):
     # Measured RGL BRDF table stack (materials.rgl_id indexes axis 0); always
     # present so SceneArrays stays a uniform pytree (placeholder when unused).
     rgl: "RGLTables" = None
+    # Power-proportional light picking (many-emitter scenes; SURVEY.md section 7
+    # "NEE cost model"). None = uniform pick, exactly the reference's
+    # wurblpt.hpp:187. When set: `light_weights` are the normalized pick
+    # probabilities (the NEE mixture pdf becomes sum w_i * pdf_i), and the
+    # alias table gives O(1) sampling. With equal powers the alias pick is
+    # bit-identical to the uniform pick.
+    light_weights: Optional[jnp.ndarray] = None     # [L] f32
+    light_alias_prob: Optional[jnp.ndarray] = None  # [L] f32
+    light_alias_idx: Optional[jnp.ndarray] = None   # [L] int32
 
     @property
     def n_tris(self):

@@ -202,7 +202,9 @@ def mis_test(use_ggx: bool = True) -> Scene:
 
     scene = Scene()
     floor = scene.take_material(Lambertian(albedo=(0.3, 0.3, 0.3)))
-    fm, ftf = _quad_to((0.0, -1.0, 0.0), (1.0, 0.0, 0.0), 0.0, half=8.0)
+    # horizontal floor at y=-1 (+y normal); generate_quad is in the xy plane,
+    # so rotate -pi/2 about x (angle 0 would leave a camera-blocking wall).
+    fm, ftf = _quad_to((0.0, -1.0, 0.0), (1.0, 0.0, 0.0), -np.pi / 2, half=8.0)
     scene.take_mesh_instance(MeshInstance(fm, floor, ftf))
 
     roughnesses = (0.005, 0.02, 0.08, 0.25)
@@ -260,7 +262,9 @@ def envmap_spheres(cube: bool = False, importance_resolution: int = 64) -> Scene
 
     scene = Scene()
     ground = scene.take_material(Lambertian(albedo=(0.4, 0.4, 0.4)))
-    gm, gtf = _quad_to((0.0, -0.5, 0.0), (1.0, 0.0, 0.0), 0.0, half=20.0)
+    # horizontal ground at y=-0.5 (+y normal); generate_quad is in the xy
+    # plane, so rotate -pi/2 about x (angle 0 would be a camera-facing wall).
+    gm, gtf = _quad_to((0.0, -0.5, 0.0), (1.0, 0.0, 0.0), -np.pi / 2, half=20.0)
     scene.take_mesh_instance(MeshInstance(gm, ground, gtf))
     scene.take_sphere(SphereObject((-1.2, 0.0, 0.0), 0.5,
                                    scene.take_material(Glass(ior=1.5))))
