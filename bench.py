@@ -197,12 +197,62 @@ def bench_bvh_large():
     }
 
 
+def bench_city_many_lights():
+    """BASELINE config 5 (single-chip variant): Sponza-class composition —
+    >200k-tri OBJ/MTL round-tripped scene, 96 emissive windows (alias-table
+    light picking), ModPhong/GGX/mirror/RGL materials, 1080p 360-degree
+    STEREO camera, BVH traversal. Saves an image artifact with provenance
+    metadata (artifacts/city_night.png)."""
+    import jax
+
+    from wurblpt_tpu import CameraConfig, RenderParams, SceneStatic, SensorRGB, make_camera
+    from wurblpt_tpu.core.transform import from_lookat
+    from wurblpt_tpu.render.camera import SurroundMode
+    from wurblpt_tpu.render.integrator import render_frame_wavefront
+    from wurblpt_tpu.utils import scenes
+    from wurblpt_tpu.utils.metadata import save_png_with_metadata, timed_render
+
+    width, height = 1920, 1080
+    ssqrt = 2
+    scene = scenes.city_night(seed=7).build(use_bvh=True)
+    static = SceneStatic.from_scene(scene)
+    cam = make_camera(
+        transformation=from_lookat((0.0, 3.5, 14.0), (0.0, 1.5, 0.0)),
+        vfov_deg=50.0, width=width, height=height, eye_distance=0.065)
+    cfg = CameraConfig(surround=SurroundMode.S360, stereo=True)
+    params = RenderParams(max_path_components=4)
+    fn = jax.jit(lambda s, c: render_frame_wavefront(
+        s, static, c, cfg, SensorRGB(), width, height, ssqrt,
+        params=params, return_stats=True))
+    with timed_render(spp=ssqrt * ssqrt, params=params, width=width,
+                      height=height, scene="city_night") as st:
+        dt, (img, stats) = _timeit(fn, scene, cam, n=2)
+        st.total_casts = int(np.asarray(stats)[1])
+    st.wall_seconds = dt
+    st.mrays_per_s = st.total_casts / dt / 1e6
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "artifacts"), exist_ok=True)
+    save_png_with_metadata(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "artifacts", "city_night.png"), np.asarray(img), st)
+    stats = np.asarray(stats)
+    return {
+        "n_tris": scene.n_tris,
+        "n_lights": int(scene.light_prims.shape[0]),
+        "frame_ms": dt * 1e3,
+        "paths_per_s": width * height * ssqrt * ssqrt / dt,
+        "mrays_per_s": stats[1] / dt / 1e6,
+        "mean_radiance": float(np.asarray(img).mean()),
+    }
+
+
 CONFIGS = {
     "cornell": bench_cornell,
     "rtiow_distortion": bench_rtiow,
     "envmap_cube_is": bench_envmap_furnace,
     "tof_amcw": bench_tof,
     "bvh_100k": bench_bvh_large,
+    "city_many_lights": bench_city_many_lights,
 }
 
 

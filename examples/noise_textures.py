@@ -46,7 +46,10 @@ def main():
         scene.take_sphere(B.SphereObject((x, 0.1, 0.0), 0.6,
                                          B.Lambertian(albedo=tex)))
 
-    scene.set_environment_map(B.EnvironmentMapConstant(radiance=(0.8, 0.85, 1.0)))
+    light = scene.take_material(B.LightDiffuse(radiance=(26.0, 24.0, 22.0)))
+    scene.take_sphere(B.SphereObject((0.0, 5.0, 3.0), 0.8, light),
+                      hot_spot=True)
+    scene.set_environment_map(B.EnvironmentMapConstant(radiance=(0.25, 0.28, 0.35)))
     built = scene.build()
     cam = make_camera(transformation=from_lookat((0.0, 1.3, 5.2), (0.0, 0.0, 0.0)),
                       vfov_deg=32.0, width=args.width, height=args.height)

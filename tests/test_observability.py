@@ -1,0 +1,66 @@
+"""Progress reporting + output metadata stamping (the reference's TGD tags +
+stderr progress, wurblpt.hpp:370-435)."""
+
+import os
+
+import numpy as np
+
+from wurblpt_tpu import (
+    CameraConfig, RenderParams, SceneStatic, SensorRGB, make_camera,
+    render_frame, render_frame_progressive,
+)
+from wurblpt_tpu.utils import scenes
+from wurblpt_tpu.utils.metadata import (
+    read_png_metadata, save_png_with_metadata, timed_render,
+)
+
+
+def _setup(w=24, h=24):
+    scene = scenes.cornell_box_ref().build()
+    static = SceneStatic.from_scene(scene)
+    pose, vfov = scenes.cornell_ref_camera()
+    cam = make_camera(transformation=pose, vfov_deg=vfov, width=w, height=h)
+    return scene, static, cam
+
+
+def test_progressive_matches_render_frame_and_reports():
+    scene, static, cam = _setup()
+    params = RenderParams(max_path_components=4)
+    ref = np.asarray(render_frame(
+        scene, static, cam, CameraConfig(), SensorRGB(), 24, 24, 2,
+        params=params))
+    seen = []
+
+    def cb(done, total, preview):
+        seen.append((done, total, float(np.asarray(preview).mean())))
+
+    img = np.asarray(render_frame_progressive(
+        scene, static, cam, CameraConfig(), SensorRGB(), 24, 24, 2,
+        params=params, samples_per_pass=1, passes_per_chunk=1,
+        progress_cb=cb))
+    # bit-identical to the one-shot render (counter-based RNG)
+    np.testing.assert_array_equal(img, ref)
+    # 4 passes -> 4 callbacks, monotone progress, correctly-exposed previews
+    assert [s[0] for s in seen] == [1, 2, 3, 4]
+    assert all(s[1] == 4 for s in seen)
+    assert all(np.isfinite(s[2]) and s[2] >= 0 for s in seen)
+
+
+def test_metadata_stamp_roundtrip(tmp_path):
+    scene, static, cam = _setup(16, 16)
+    params = RenderParams(max_path_components=3)
+    with timed_render(spp=4, params=params, width=16, height=16,
+                      scene="cornell") as st:
+        img = render_frame(scene, static, cam, CameraConfig(), SensorRGB(),
+                           16, 16, 2, params=params)
+        st.total_casts = 12345
+    path = str(tmp_path / "out.png")
+    save_png_with_metadata(path, np.asarray(img), st)
+    tags = read_png_metadata(path)
+    assert tags["WURBLPT/SAMPLES_PER_PIXEL"] == "4"
+    assert tags["WURBLPT/MAX_PATH_COMPONENTS"] == "3"
+    assert tags["WURBLPT/TOTAL_CASTS"] == "12345"
+    assert float(tags["WURBLPT/WALL_SECONDS"]) > 0
+    assert float(tags["WURBLPT/MRAYS_PER_S"]) > 0
+    assert tags["WURBLPT/SCENE"] == "cornell"
+    assert os.path.exists(str(tmp_path / "out.json"))

@@ -21,7 +21,13 @@ from .render.camera import (  # noqa: F401
     camera_rays,
     make_camera,
 )
-from .render.integrator import RenderParams, render_frame, trace_paths  # noqa: F401
+from .render.integrator import (  # noqa: F401
+    RenderParams,
+    render_frame,
+    render_frame_progressive,
+    render_frame_wavefront,
+    trace_paths,
+)
 from .render.sensor import SensorRGB, SensorTofAmcw  # noqa: F401
 from .scene.builder import (  # noqa: F401
     AnimationKeyframes,

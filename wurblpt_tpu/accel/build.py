@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from ..scene.ir import BVHArrays
 
 LEAF_SIZE = 4          # small scenes: few prims per leaf keeps tile work low
-LEAF_SIZE_LARGE = 64   # big scenes: wide tiles slash lockstep step counts
+LEAF_SIZE_LARGE = 16   # big scenes; TPU sweep at 100k tris / 76800 rays:
+#                        leaf 4: 1.46 s/cast, 8: 1.29, 16: 1.24, 64: 4.46
+#                        (two-phase walk pays leaf gathers per VISIT)
 
 
 # ---------------------------------------------------------------------------
@@ -210,39 +212,148 @@ def _build_numpy(amin, amax, cent, leaf_size):
 # Public entry
 # ---------------------------------------------------------------------------
 
-def pack_bvh(built, leaf_size: int) -> BVHArrays:
+def pack_bvh(built, leaf_size: int, tris_np=None, spheres_np=None,
+             tri_anim=None, sph_anim=None) -> BVHArrays:
     """Pack a builder's flat arrays into the gather-friendly BVHArrays layout
-    (one f32 + one i32 gather per traversal step; 2-D leaf tile)."""
+    (one f32 + one i32 gather per traversal step; 2-D leaf tile).
+
+    With `tris_np`/`spheres_np`, leaf geometry is REPLICATED into contiguous
+    [L, K, 9] rows (leaf_geom) so each leaf visit is one row gather per lane —
+    TPU gathers pay per descriptor, so K per-prim gathers of 12 B rows cost
+    ~K times more than one 36*K B row. tris_np may be (p0, e1, e2) or
+    (p0, e1, e2, v1, v2); absolute v1/v2 preserve watertightness.
+    """
     node_min, node_max, prim_start, prim_count, miss_next, prim_order = built
-    node_f = np.concatenate(
-        [np.asarray(node_min, np.float32), np.asarray(node_max, np.float32)], 1)
+    node_min = np.asarray(node_min, np.float32)
+    node_max = np.asarray(node_max, np.float32)
+    node_f = np.concatenate([node_min, node_max], 1)
     prim_start = np.asarray(prim_start, np.int32)
     prim_count = np.asarray(prim_count, np.int32)
+    miss_next = np.asarray(miss_next, np.int32)
     # Leaves occupy exactly leaf_size slots in prim_order -> row index.
     leaf_row = np.where(prim_count > 0, prim_start // leaf_size, -1).astype(np.int32)
-    node_i = np.stack([leaf_row, np.asarray(miss_next, np.int32)], 1)
+    node_i = np.stack([leaf_row, miss_next], 1)
     order = np.asarray(prim_order, np.int32)
     assert order.size % leaf_size == 0
+    leaf_prims = order.reshape(-1, leaf_size)
+
+    node_oct = _octant_links(node_min, node_max, leaf_row, miss_next)
+
+    leaf_geom = leaf_anim = None
+    if tris_np is not None:
+        if len(tris_np) == 5:
+            p0, e1, e2, v1, v2 = tris_np
+        else:
+            p0, e1, e2 = tris_np
+            v1, v2 = p0 + e1, p0 + e2
+        center, radius = spheres_np if spheres_np is not None else (
+            np.zeros((0, 3), np.float32), np.zeros((0,), np.float32))
+        n_tri = p0.shape[0]
+        pid = np.maximum(leaf_prims, 0)
+        is_tri = (leaf_prims >= 0) & (pid < n_tri)
+        is_sph = leaf_prims >= n_tri
+        L, K = leaf_prims.shape
+        geom = np.zeros((L, K, 9), np.float32)
+        if n_tri:
+            ti = np.clip(pid, 0, n_tri - 1)
+            tg = np.concatenate([p0[ti], v1[ti], v2[ti]], -1)
+            geom = np.where(is_tri[..., None], tg, geom)
+        if radius.shape[0]:
+            si = np.clip(pid - n_tri, 0, radius.shape[0] - 1)
+            sg = np.zeros((L, K, 9), np.float32)
+            sg[..., 0:3] = center[si]
+            sg[..., 3] = radius[si]
+            geom = np.where(is_sph[..., None], sg, geom)
+        leaf_geom = jnp.asarray(geom)
+        if tri_anim is not None or sph_anim is not None:
+            ta = (np.asarray(tri_anim, np.int32) if tri_anim is not None
+                  else np.zeros((n_tri,), np.int32))
+            sa = (np.asarray(sph_anim, np.int32) if sph_anim is not None
+                  else np.zeros((radius.shape[0],), np.int32))
+            alla = np.concatenate([ta, sa])
+            leaf_anim = jnp.asarray(
+                np.where(leaf_prims >= 0, alla[np.clip(pid, 0, max(alla.size - 1, 0))], 0)
+                .astype(np.int32))
+
     return BVHArrays(
         node_f=jnp.asarray(node_f),
         node_i=jnp.asarray(node_i),
-        leaf_prims=jnp.asarray(order.reshape(-1, leaf_size)),
+        leaf_prims=jnp.asarray(leaf_prims),
+        leaf_geom=leaf_geom,
+        leaf_anim=leaf_anim,
+        node_oct=jnp.asarray(node_oct),
     )
 
 
+def _octant_links(node_min, node_max, leaf_row, miss_next):
+    """Per-octant FRONT-TO-BACK threading: [8, N, 3] (leaf_row, hit, miss).
+
+    The pre-order threading visits children in layout order regardless of ray
+    direction; a ray travelling "backwards" along a node's split axis then
+    finds its closest hit LAST and prunes nothing. Re-threading the same tree
+    once per direction octant makes every walk near-child-first, so best_t
+    terminates far subtrees early (the stack traversal's classic ordering,
+    bvh.hpp:277-311, recovered without a stack). Child pairs are recovered
+    from the pre-order layout (first child = n+1, second = miss link of the
+    first), the split axis from the children's box centers.
+    """
+    n = node_min.shape[0]
+    is_leaf = leaf_row >= 0
+    child1 = np.where(~is_leaf, np.arange(n, dtype=np.int32) + 1, -1)
+    child2 = np.full(n, -1, np.int32)
+    inner = ~is_leaf
+    child2[inner] = miss_next[child1[inner]]
+    centers = 0.5 * (node_min + node_max)
+    axis = np.zeros(n, np.int32)
+    ci = child1[inner]
+    cj = child2[inner]
+    axis[inner] = np.argmax(np.abs(centers[cj] - centers[ci]), axis=1)
+    # Which child is LOWER along the split axis (don't assume builder order).
+    c1s = np.maximum(child1, 0)
+    c2s = np.maximum(child2, 0)
+    c1_lower = (centers[c1s, axis] <= centers[c2s, axis])
+
+    out = np.empty((8, n, 3), np.int32)
+    for oct_ in range(8):
+        neg = [(oct_ >> a) & 1 for a in range(3)]  # bit a: dir[a] < 0
+        hit = np.full(n, -1, np.int32)
+        miss = np.full(n, -1, np.int32)
+        # iterative threading with explicit stack: (node, miss_link)
+        stack = [(0, -1)]
+        while stack:
+            nd, m = stack.pop()
+            miss[nd] = m
+            if is_leaf[nd]:
+                hit[nd] = m  # after the leaf tile, continue at the miss link
+                continue
+            a, b = child1[nd], child2[nd]
+            # near child first: the lower child when the ray dir is positive
+            # along the split axis, the upper child otherwise.
+            lower_child, upper_child = (a, b) if c1_lower[nd] else (b, a)
+            flip = neg[axis[nd]] == 1
+            first, second = (upper_child, lower_child) if flip else (lower_child, upper_child)
+            hit[nd] = first
+            stack.append((second, m))
+            stack.append((first, second))
+        out[oct_, :, 0] = leaf_row
+        out[oct_, :, 1] = hit
+        out[oct_, :, 2] = miss
+    return out.reshape(8 * n, 3)
+
+
 def build_bvh_arrays(tris_np, spheres_np, leaf_size: int = None,
-                     aabb_override=None) -> BVHArrays:
+                     aabb_override=None, tri_anim=None, sph_anim=None) -> BVHArrays:
     """Build BVHArrays from numpy geometry (see prim_aabbs for inputs).
 
     aabb_override: optional (amin, amax) replacing the computed prim boxes —
     used for animated prims whose world boxes are swept over the render
     interval (reference Scene::updateBVH(t0, t1), scene.hpp:151-169).
 
-    leaf_size: leaf tile width K (None = scale with the scene). On TPU, wide
-    leaves trade masked VPU tile work for far fewer lockstep traversal steps
-    — the win is dramatic at 100k prims (see bench bvh_100k).
+    leaf_size: leaf tile width K (None = scale with the scene). On TPU the
+    leaf-packed two-phase traversal (accel/traverse) makes moderate tiles
+    optimal — see LEAF_SIZE_LARGE sweep numbers.
     """
-    amin, amax, cent = prim_aabbs(tris_np, spheres_np)
+    amin, amax, cent = prim_aabbs(tris_np[:3], spheres_np)
     if aabb_override is not None:
         amin, amax = aabb_override
         cent = (amin + amax) * 0.5
@@ -253,4 +364,5 @@ def build_bvh_arrays(tris_np, spheres_np, leaf_size: int = None,
     built = _build_native(amin, amax, cent, leaf_size)
     if built is None:
         built = _build_numpy(amin, amax, cent, leaf_size)
-    return pack_bvh(built, leaf_size)
+    return pack_bvh(built, leaf_size, tris_np=tris_np, spheres_np=spheres_np,
+                    tri_anim=tri_anim, sph_anim=sph_anim)

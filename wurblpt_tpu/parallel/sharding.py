@@ -15,7 +15,15 @@ Dynamic load balancing: the reference pulls 4096-pixel blocks from a queue
 (mpi.hpp:166-178). Here every chip gets an equal contiguous slice of the
 (pixel x sample) ray space per pass; variance in path depth is averaged out
 because each chip holds tens of thousands of lanes that retire independently
-inside the masked wavefront loop.
+inside the masked wavefront loop. Round-3 profiling sharpened the rationale:
+on TPU the per-iteration cost of the wavefront body is LANE-COUNT
+proportional (lockstep masked work + per-row gather descriptors), not
+live-path proportional — two chips holding equal lane counts take the same
+wall time per iteration regardless of which chip's paths die first, and
+iteration counts equalize through persistent-lane regeneration. The load
+imbalance the reference's block queue exists to fix (a thread stuck on a
+slow pixel) has no analog; what WOULD need rebalancing is unequal lane
+counts, which the static equal split rules out by construction.
 """
 
 from __future__ import annotations

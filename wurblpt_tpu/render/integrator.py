@@ -670,6 +670,59 @@ def render_frame_wavefront(
     return img
 
 
+def render_frame_progressive(
+    scene: SceneArrays,
+    static: SceneStatic,
+    cam: CameraParams,
+    cam_cfg: CameraConfig,
+    sensor,
+    width: int,
+    height: int,
+    samples_sqrt: int,
+    t0: float = 0.0,
+    t1: float = 0.0,
+    params: RenderParams = RenderParams(),
+    samples_per_pass: int = 1,
+    passes_per_chunk: int = 1,
+    progress_cb=None,
+):
+    """`render_frame` with host-side progress reporting: the pass loop runs
+    OUTSIDE jit in chunks, invoking ``progress_cb(passes_done, n_pass,
+    preview_image)`` after each chunk (the reference prints per-block %
+    progress to stderr, wurblpt.hpp:370-387). Bit-identical to `render_frame`
+    for any chunking because the RNG is counter-based on (pixel, sample).
+
+    The preview passed to the callback is the CURRENT accumulator finished at
+    the samples completed so far — a live, correctly-exposed image.
+    """
+    spp = samples_sqrt * samples_sqrt
+    assert spp % samples_per_pass == 0, "samples_per_pass must divide spp"
+    n_pass = spp // samples_per_pass
+    n_pix = width * height
+
+    step = jax.jit(
+        accumulate_passes,
+        static_argnames=("static", "cam_cfg", "sensor", "width", "height",
+                         "samples_sqrt", "params", "samples_per_pass",
+                         "n_pass"),
+    )
+    img_acc = jnp.zeros((n_pix, sensor.n_acc))
+    done = 0
+    while done < n_pass:
+        chunk = min(passes_per_chunk, n_pass - done)
+        img_acc = step(scene, static, cam, cam_cfg, sensor, width, height,
+                       samples_sqrt, t0, t1, params, samples_per_pass,
+                       img_acc, done, chunk)
+        done += chunk
+        if progress_cb is not None:
+            samples_done = done * samples_per_pass
+            preview = sensor.finish(img_acc, 1.0 / samples_done).reshape(
+                height, width, sensor.n_acc)
+            progress_cb(done, n_pass, preview)
+    img = sensor.finish(img_acc, 1.0 / spp)
+    return img.reshape(height, width, sensor.n_acc)
+
+
 # ---------------------------------------------------------------------------
 # Frame renderer (the mcpt() equivalent)
 # ---------------------------------------------------------------------------
@@ -723,9 +776,15 @@ def accumulate_passes(
     img_acc,
     pass_start: int,
     n_pass: int,
+    sample_offset=0,
 ):
     """Accumulate `n_pass` sample passes starting at pass index `pass_start`
     into the raw sensor accumulator `img_acc` [n_pix, n_acc].
+
+    `sample_offset` (may be traced) shifts every global sample id — the
+    reverse-differentiable way to draw a different stratified sample window
+    per optimization step (a traced `pass_start` would make the fori_loop
+    bounds dynamic, which reverse-mode rejects).
 
     Because the RNG is counter-based on (pixel, global sample id), splitting a
     frame's passes across calls — or across process restarts via
@@ -753,7 +812,7 @@ def accumulate_passes(
     t1f = jnp.float32(t1)
 
     def one_pass(p, img_acc):
-        s = p * samples_per_pass + s_local
+        s = p * samples_per_pass + s_local + sample_offset
         # stratified jitter (wurblpt.hpp:350-359)
         si = (s % samples_sqrt).astype(jnp.float32)
         sj = (s // samples_sqrt).astype(jnp.float32)

@@ -38,7 +38,6 @@ from ..scene.ir import SceneArrays, Triangles
 # on cross-program re-dispatch; see tests/conftest.py).
 BIG = np.float32(3.0e37)
 TRI_TILE = 1024
-PALLAS_MIN_BATCH = 524288  # standalone-cast threshold for the Pallas kernel
 
 
 class HitRecord(NamedTuple):
@@ -316,14 +315,14 @@ def scene_raw_hit(scene: SceneArrays, o, d, t_min, t_max, anim_ctx=None, ms=None
     single-matmul MXU intersector (built once per trace by the integrator).
     """
     if ms is not None:
-        # The Pallas fused cast wins for big standalone batches, but inside the
-        # wavefront while_loop the custom-call boundary breaks XLA's body
-        # fusion and costs more than it saves (measured: 125 -> 321 ms/frame
-        # at 65k lanes). Keep it for large batches outside tight loops.
-        if jax.default_backend() == "tpu" and o.shape[0] >= PALLAS_MIN_BATCH:
-            from ..accel.pallas_intersect import pallas_closest_hit
-
-            return pallas_closest_hit(ms, o, d, t_min, t_max)
+        # A Pallas fused-cast kernel was tried and REMOVED (round 3): inside
+        # the wavefront while_loop its custom-call boundary broke XLA's body
+        # fusion (measured 125 -> 321 ms/frame at 65k lanes), and the only
+        # batch size where it won (>=512k standalone rays) never occurs in
+        # practice. A VMEM-resident Pallas BVH traversal is not expressible
+        # either: Mosaic on this toolchain rejects every per-lane dynamic
+        # gather form (tools/probe_pallas_gather.py). The MXU matmul below IS
+        # the TPU-native fast path.
         from .intersect_mxu import mxu_closest_hit
 
         t, prim, u, v, _ = mxu_closest_hit(ms, o, d, t_min, t_max)

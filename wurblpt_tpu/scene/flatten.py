@@ -620,24 +620,27 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None,
     if use_bvh and n_prims > 0:
         from ..accel.build import build_bvh_arrays, prim_aabbs
 
+        z03 = np.zeros((0, 3), _f32)
         tri_np = (
-            np.concatenate(p0s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
-            np.concatenate(e1s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
-            np.concatenate(e2s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
+            np.concatenate(p0s).astype(_f32) if tri_count else z03,
+            np.concatenate(e1s).astype(_f32) if tri_count else z03,
+            np.concatenate(e2s).astype(_f32) if tri_count else z03,
+            np.concatenate(v1s).astype(_f32) if tri_count else z03,
+            np.concatenate(v2s).astype(_f32) if tri_count else z03,
         )
         sph_np = (
             np.asarray(sc, _f32).reshape(-1, 3),
             np.asarray(sr, _f32).reshape(-1),
         )
         aabb_override = None
-        prim_anim = np.concatenate([
-            np.concatenate(anims_idx) if anims_idx else np.zeros((0,), _i32),
-            np.asarray(sa, _i32).reshape(-1),
-        ])
+        tri_anim_np = np.concatenate(anims_idx) if anims_idx else np.zeros((0,), _i32)
+        sph_anim_np = np.asarray(sa, _i32).reshape(-1)
+        prim_anim = np.concatenate([tri_anim_np, sph_anim_np])
         if np.any(prim_anim != 0):
-            amin, amax, _ = prim_aabbs(tri_np, sph_np)
+            amin, amax, _ = prim_aabbs(tri_np[:3], sph_np)
             aabb_override = _swept_aabbs(amin, amax, prim_anim, scene, t0, t1)
-        bvh = build_bvh_arrays(tri_np, sph_np, aabb_override=aabb_override)
+        bvh = build_bvh_arrays(tri_np, sph_np, aabb_override=aabb_override,
+                               tri_anim=tri_anim_np, sph_anim=sph_anim_np)
 
     # --- envmap ------------------------------------------------------------
     from ..render.envmap import build_envmap_arrays

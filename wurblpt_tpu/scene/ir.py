@@ -200,6 +200,18 @@ class BVHArrays(NamedTuple):
     node_f: jnp.ndarray      # [N, 6] f32: min xyz, max xyz
     node_i: jnp.ndarray      # [N, 2] int32: (leaf_row | -1 inner, miss_next)
     leaf_prims: jnp.ndarray  # [L, K] int32 global prim ids, padded -1
+    # Leaf-PACKED geometry: one contiguous [K*9]-float row per leaf so a leaf
+    # visit costs ONE row gather per lane instead of K per-prim row gathers
+    # (TPU gathers are descriptor-bound, not bandwidth-bound). Triangle slots
+    # hold [v0, v1, v2]; sphere slots hold [center, radius, 0...]; the prim id
+    # in leaf_prims tells which. leaf_anim carries per-slot animation ids.
+    leaf_geom: jnp.ndarray = None   # [L, K, 9] f32
+    leaf_anim: jnp.ndarray = None   # [L, K] int32
+    # Per-octant front-to-back threading, flattened [8*N, 3] int32 rows of
+    # (leaf_row, hit_next, miss_next); row = octant * N + node. Near-child-
+    # first order per ray direction octant lets best_t prune far subtrees
+    # (the classic stack traversal's ordering without a stack).
+    node_oct: jnp.ndarray = None
 
 
 class EnvMapArrays(NamedTuple):

@@ -381,6 +381,149 @@ def terrain_city(seed: int = 3, terrain_res: int = 192, n_buildings: int = 220,
     return scene
 
 
+def city_night(seed: int = 7, terrain_res: int = 260, n_buildings: int = 320,
+               n_windows: int = 96, sphere_slices: int = 32,
+               obj_roundtrip: bool = True, workdir: str = None) -> Scene:
+    """Sponza-class composition benchmark scene (BASELINE config 5 stand-in,
+    wurblpt-sponza.cpp:73-143): >200k triangles, MULTI-MATERIAL (ModPhong +
+    Lambertian + GGX + mirror + one measured-RGL sphere), and >=64 emissive
+    "window" area lights of strongly varying power — the regime where uniform
+    light picking collapses and the power-proportional alias table
+    (scene/flatten.build_alias_table) earns its keep.
+
+    With `obj_roundtrip` the whole surface scene is EXPORTED to OBJ/MTL and
+    re-imported (io/obj), exercising the full import pipeline (material
+    heuristics, emissive hot-spot registration, mesh merge) at import scale —
+    the reference's sponza workflow. RGL material and envmap are attached
+    after the round trip (MTL cannot represent them).
+    """
+    import tempfile
+
+    from ..scene.builder import EnvironmentMapEquiRect, ModPhong, RGLMaterial
+
+    rs = np.random.RandomState(seed)
+    scene = Scene()
+    ground = scene.take_material(Lambertian(albedo=(0.25, 0.28, 0.24)))
+
+    phases = [(rs.uniform(0, 2 * np.pi), rs.uniform(0, 2 * np.pi))
+              for _ in range(4)]
+
+    def fbm(x, z):
+        out = np.zeros_like(np.asarray(x, np.float32))
+        for octave, (px, pz) in enumerate(phases):
+            f = 0.12 * (2.0 ** octave)
+            a = 0.9 * (0.5 ** octave)
+            out = out + a * np.sin(f * x + px) * np.cos(f * z + pz)
+        return out
+
+    res = terrain_res
+    xs = np.linspace(-24.0, 24.0, res, dtype=np.float32)
+    zs = np.linspace(-24.0, 24.0, res, dtype=np.float32)
+    xx, zz = np.meshgrid(xs, zs, indexing="ij")
+    h = fbm(xx, zz)
+    pos = np.stack([xx, h, zz], -1).reshape(-1, 3)
+    idx = []
+    for i in range(res - 1):
+        a0 = i * res + np.arange(res - 1)
+        idx.append(np.stack([a0, a0 + 1, a0 + res], -1))
+        idx.append(np.stack([a0 + 1, a0 + res + 1, a0 + res], -1))
+    idx = np.concatenate(idx, 0).astype(np.int32)
+    uv = np.stack([(xx + 24.0) / 48.0, (zz + 24.0) / 48.0], -1).reshape(-1, 2)
+    scene.take_mesh_instance(MeshInstance(
+        Mesh(pos, None, uv.astype(np.float32), indices=idx), ground))
+
+    # ModPhong buildings (the reference's OBJ work-horse material) with
+    # emissive windows on a subset.
+    cube = G.generate_cube(0.5)
+    window_budget = n_windows
+    building_info = []
+    for bi in range(n_buildings):
+        bx, bz = rs.uniform(-22, 22, 2)
+        bh = rs.uniform(0.8, 4.0)
+        sx, sz = rs.uniform(0.5, 1.6), rs.uniform(0.5, 1.6)
+        col = tuple(0.25 + 0.5 * rs.rand(3))
+        mat = scene.take_material(ModPhong(
+            diffuse=col, specular=tuple(0.1 + 0.2 * rs.rand(3)),
+            shininess=float(rs.uniform(20, 160))))
+        ty = float(fbm(bx, bz)) + bh / 2
+        tf = Transformation.make(translation=(bx, ty, bz), scale=(sx, bh, sz))
+        scene.take_mesh_instance(MeshInstance(cube, mat, tf))
+        building_info.append((bx, ty, bz, sx, bh, sz))
+
+    # Emissive windows: small quads floating just off building faces; powers
+    # span ~2 decades so uniform light picking is hopeless.
+    for wi in range(window_budget):
+        bx, ty, bz, sx, bh, sz = building_info[wi % len(building_info)]
+        warm = np.array([1.0, rs.uniform(0.5, 0.9), rs.uniform(0.2, 0.6)])
+        radiance = tuple(warm * rs.uniform(2.0, 120.0))
+        lm = scene.take_material(LightDiffuse(radiance=radiance))
+        side = 1.0 if wi % 2 == 0 else -1.0
+        wtf = Transformation.make(
+            translation=(bx + side * (sx * 0.5 + 0.01),
+                         ty + rs.uniform(-0.3, 0.3) * bh, bz),
+            rotation=quat_from_axis_angle((0, 1, 0), side * np.pi / 2),
+            scale=(0.18, 0.12, 1.0))
+        scene.take_mesh_instance(
+            MeshInstance(G.generate_quad(1.0, 1.0), lm, wtf), hot_spot=True)
+
+    # GGX / mirror spheres
+    for i in range(20):
+        sx_, sz_ = rs.uniform(-18, 18, 2)
+        mat = (scene.take_material(GGX(albedo=(0.8, 0.7, 0.6),
+                                       roughness=0.08 + 0.2 * rs.rand()))
+               if i % 3 else scene.take_material(Mirror()))
+        mesh = G.generate_sphere(1.0, slices=sphere_slices, stacks=sphere_slices)
+        tf = Transformation.make(
+            translation=(sx_, float(fbm(sx_, sz_)) + 1.4, sz_),
+            scale=(0.8, 0.8, 0.8))
+        scene.take_mesh_instance(MeshInstance(mesh, mat, tf))
+
+    if obj_roundtrip:
+        from ..io.obj import export_scene_to_obj, import_into_scene
+
+        workdir = workdir or tempfile.mkdtemp(prefix="wurblpt_city_")
+        path = f"{workdir}/city_night.obj"
+        export_scene_to_obj(scene, path)
+        scene = Scene()
+        import_into_scene(scene, path)
+
+    # Post-roundtrip extras: a measured-RGL sphere + night sky (not
+    # representable in MTL).
+    from ..materials import rgl as rgl_mod
+
+    rs2 = np.random.RandomState(seed + 1)
+
+    def _smooth_positive(shape, s, lo=0.05, hi=1.0):
+        rs3 = np.random.RandomState(s)
+        a = rs3.uniform(lo, hi, shape).astype(np.float32)
+        for ax in range(a.ndim):
+            a = 0.5 * a + 0.25 * (np.roll(a, 1, ax) + np.roll(a, -1, ax))
+        return a.astype(np.float32)
+
+    T = 4
+    fields = dict(
+        phi_i=np.zeros((1,), np.float32),
+        theta_i=np.linspace(0.0, np.pi / 2, T).astype(np.float32),
+        ndf=_smooth_positive((16, 16), seed + 11),
+        sigma=_smooth_positive((16, 16), seed + 12, 0.2, 0.4),
+        vndf=_smooth_positive((1, T, 16, 16), seed + 13),
+        luminance=_smooth_positive((1, T, 8, 8), seed + 14),
+        rgb=_smooth_positive((1, T, 3, 8, 8), seed + 15),
+    )
+    scene.take_rgl_table("city_rgl", rgl_mod.load_rgl_material(fields))
+    rglm = scene.take_material(RGLMaterial(table_name="city_rgl"))
+    scene.take_mesh_instance(MeshInstance(
+        G.generate_sphere(1.0, slices=sphere_slices, stacks=sphere_slices),
+        rglm,
+        Transformation.make(translation=(0.0, float(fbm(0.0, 4.0)) + 1.6, 4.0),
+                            scale=(1.2, 1.2, 1.2))))
+
+    night = procedural_sky(sun_radiance=2.0) * 0.08  # dim dusk sky
+    scene.set_environment_map(EnvironmentMapEquiRect(
+        image=night.astype(np.float32), importance_resolution=32))
+    return scene
+
+
 def tof_box(room_half: float = 1.2) -> Scene:
     """AMCW ToF scenario (wurblpt-tof-hcibox.cpp:38-103): a closed box room
     observed by a camera with a rigidly attached NIR ToF light at the origin."""
