@@ -212,8 +212,10 @@ def bench_city_many_lights():
     from wurblpt_tpu.utils import scenes
     from wurblpt_tpu.utils.metadata import save_png_with_metadata, timed_render
 
+    # 1 spp + 65536-lane blocks keep every device execution under the axon
+    # fault horizon (PROFILE.md section 3); throughput is what is measured.
     width, height = 1920, 1080
-    ssqrt = 2
+    ssqrt = 1
     scene = scenes.city_night(seed=7).build(use_bvh=True)
     static = SceneStatic.from_scene(scene)
     cam = make_camera(
@@ -221,12 +223,18 @@ def bench_city_many_lights():
         vfov_deg=50.0, width=width, height=height, eye_distance=0.065)
     cfg = CameraConfig(surround=SurroundMode.S360, stereo=True)
     params = RenderParams(max_path_components=4)
-    fn = jax.jit(lambda s, c: render_frame_wavefront(
-        s, static, c, cfg, SensorRGB(), width, height, ssqrt,
-        params=params, return_stats=True))
+
+    # host_blocks: one device execution per 131072-lane block — a single
+    # multi-minute execution faults the axon device (PROFILE.md section 3).
+    def fn(s, c):
+        return render_frame_wavefront(
+            s, static, c, cfg, SensorRGB(), width, height, ssqrt,
+            params=params, return_stats=True, host_blocks=True,
+            max_lanes=65536)
+
     with timed_render(spp=ssqrt * ssqrt, params=params, width=width,
                       height=height, scene="city_night") as st:
-        dt, (img, stats) = _timeit(fn, scene, cam, n=2)
+        dt, (img, stats) = _timeit(fn, scene, cam, n=1)
         st.total_casts = int(np.asarray(stats)[1])
     st.wall_seconds = dt
     st.mrays_per_s = st.total_casts / dt / 1e6
@@ -266,6 +274,9 @@ def _run_config(name: str):
     print("WURBLPT_BENCH_RESULT:" + json.dumps(result))
 
 
+CONFIG_TIMEOUTS = {"city_many_lights": 2700.0, "bvh_100k": 1800.0}
+
+
 def _spawn_config(name: str, timeout_s: float = 1200.0):
     """Run one config in a fresh interpreter; return its result dict."""
     env = dict(os.environ)
@@ -285,7 +296,7 @@ def main():
     aux = {}
     for name in CONFIGS:
         try:
-            aux[name] = _spawn_config(name)
+            aux[name] = _spawn_config(name, CONFIG_TIMEOUTS.get(name, 1200.0))
         except subprocess.TimeoutExpired:
             aux[name] = {"error": "timeout"}
         except Exception as e:  # a failing config must not kill the bench

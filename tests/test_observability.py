@@ -46,6 +46,26 @@ def test_progressive_matches_render_frame_and_reports():
     assert all(np.isfinite(s[2]) and s[2] >= 0 for s in seen)
 
 
+def test_wavefront_host_blocks_matches_fused():
+    """host_blocks=True (one device execution per lane block, for frames too
+    big for a single axon execution) must match the fused fori_loop form up
+    to XLA fusion-order rounding."""
+    import jax.numpy as jnp
+
+    from wurblpt_tpu import render_frame_wavefront
+
+    scene, static, cam = _setup(32, 32)
+    params = RenderParams(max_path_components=4)
+    a, sa = render_frame_wavefront(
+        scene, static, cam, CameraConfig(), SensorRGB(), 32, 32, 2,
+        params=params, max_lanes=256, return_stats=True)
+    b, sb = render_frame_wavefront(
+        scene, static, cam, CameraConfig(), SensorRGB(), 32, 32, 2,
+        params=params, max_lanes=256, return_stats=True, host_blocks=True)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 def test_metadata_stamp_roundtrip(tmp_path):
     scene, static, cam = _setup(16, 16)
     params = RenderParams(max_path_components=3)

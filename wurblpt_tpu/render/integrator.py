@@ -516,6 +516,7 @@ def render_frame_wavefront(
     params: RenderParams = RenderParams(),
     max_lanes: int = 131072,
     return_stats: bool = False,
+    host_blocks: bool = False,
 ):
     """Render a frame with PERSISTENT lanes: each lane owns one pixel (and a
     fixed subset of its samples) and traces those paths SEQUENTIALLY — the
@@ -661,9 +662,22 @@ def render_frame_wavefront(
         return img_acc, stats_acc + final_ls.stats
 
     img0 = jnp.zeros((n_blocks * B, sensor.n_acc))
-    img, stats = jax.lax.fori_loop(
-        0, n_blocks, lambda b, c: run_block(jnp.int32(b), c), (img0, jnp.zeros((2,), jnp.int32))
-    )
+    carry0 = (img0, jnp.zeros((2,), jnp.int32))
+    if host_blocks and n_blocks > 1:
+        # One device execution PER BLOCK (the compiled program is reused; blk
+        # is a traced scalar). Big frames on the axon platform must keep each
+        # execution short — a single multi-minute execution faults the device
+        # (PROFILE.md section 3). Matches the fori_loop form to float rounding
+        # (XLA fuses differently across the jit boundary; ~1e-5 abs).
+        step = jax.jit(lambda blk, c: run_block(blk, c))
+        carry = carry0
+        for b in range(n_blocks):
+            carry = step(jnp.int32(b), carry)
+        img, stats = carry
+    else:
+        img, stats = jax.lax.fori_loop(
+            0, n_blocks, lambda b, c: run_block(jnp.int32(b), c), carry0
+        )
     img = sensor.finish(img[:n_pix], 1.0 / spp).reshape(height, width, sensor.n_acc)
     if return_stats:
         return img, stats
