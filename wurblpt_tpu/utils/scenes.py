@@ -381,7 +381,7 @@ def terrain_city(seed: int = 3, terrain_res: int = 192, n_buildings: int = 220,
     return scene
 
 
-def city_night(seed: int = 7, terrain_res: int = 260, n_buildings: int = 320,
+def city_night(seed: int = 7, terrain_res: int = 320, n_buildings: int = 320,
                n_windows: int = 96, sphere_slices: int = 32,
                obj_roundtrip: bool = True, workdir: str = None) -> Scene:
     """Sponza-class composition benchmark scene (BASELINE config 5 stand-in,
