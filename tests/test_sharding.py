@@ -113,3 +113,19 @@ def test_training_step_grads_match_unsharded():
     )
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(g_cam.transformation.translation)).all()
+
+
+def test_local_shard_rows_subset_meshes():
+    """local_shard_rows must derive ranges from the mesh's ACTUAL devices —
+    subset meshes (measure_scaling's all_devices[:n]) included."""
+    import jax
+    from wurblpt_tpu.parallel.distributed import local_shard_rows, make_global_mesh
+
+    all_dev = jax.devices()
+    for n in (1, 2, 4, 8):
+        if n > len(all_dev):
+            continue
+        mesh = make_global_mesh(devices=all_dev[:n])
+        start, count = local_shard_rows(100, mesh)
+        # single process: this process owns ALL rows of any of its meshes
+        assert (start, count) == (0, 100), (n, start, count)
