@@ -97,6 +97,11 @@ class Salt:
     BSDF = 0x10
     BSDF_LOBE = 0x11
     BSDF_CHANNEL = 0x12  # glass dispersion channel pick (material_glass.hpp:97-106)
+    # One fused draw whose four PCG4D output words serve the per-bounce
+    # SCALAR decisions (lobe pick, dispersion channel, Russian roulette) —
+    # the words of one hash are independent, and each hash4 costs ~1.25 ms
+    # at 262k lanes, ~45% of the Cornell bounce body before fusing.
+    BSDF_AUX = 0x13
     NEE_PICK = 0x20
     NEE_SAMPLE = 0x21
     ENVMAP_SAMPLE = 0x22

@@ -328,9 +328,12 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
         acc = sensor.accumulate(acc, ev)
 
         # ---- 5. scatter (wurblpt.hpp:157) ---------------------------------
+        # Scalar decisions (lobe / dispersion channel / RR) share ONE hash
+        # draw — its four words are independent (Salt.BSDF_AUX rationale).
         u4 = uniform4(pixel_id, sample_id, k, Salt.BSDF)
-        u_lobe = uniform1(pixel_id, sample_id, k, Salt.BSDF_LOBE)
-        u_chan = uniform1(pixel_id, sample_id, k, Salt.BSDF_CHANNEL)
+        u_aux = uniform4(pixel_id, sample_id, k, Salt.BSDF_AUX)
+        u_lobe = u_aux[..., 0]
+        u_chan = u_aux[..., 1]
         sr = bsdf_sample(scene, static, hr, st.d, st.ior, u4, u_lobe, u_chan)
         is_random = hit & (sr.kind == ScatterKind.RANDOM) & (sr.pdf > 0.0)
         is_explicit = hit & (sr.kind == ScatterKind.EXPLICIT)
@@ -454,7 +457,7 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
 
         # Russian roulette (wurblpt.hpp:258-273): q from the per-bounce ratio.
         max_r = jax.lax.stop_gradient(jnp.max(ratio, axis=-1))
-        u_rr = uniform1(pixel_id, sample_id, k, Salt.RR)
+        u_rr = u_aux[..., 2]
         do_rr = (k >= params.rr_start) & (max_r < params.rr_threshold) & cont
         q = jnp.clip(1.0 - max_r, 0.0, 0.95)
         killed = do_rr & (u_rr < q)
