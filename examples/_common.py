@@ -25,7 +25,16 @@ def setup_platform(args):
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/wurblpt_jax_cache")
+    if args.cpu:
+        # The env var alone is NOT honored when the axon TPU plugin is
+        # present (see tests/conftest.py) — without this config update,
+        # "--cpu" runs still grab the TPU and can contend with/crash other
+        # TPU clients. The config update is authoritative.
+        jax.config.update("jax_platforms", "cpu")
+        cache = "/tmp/wurblpt_jax_cache_examples_cpu"
+    else:
+        cache = "/tmp/wurblpt_jax_cache"
+    jax.config.update("jax_compilation_cache_dir", cache)
 
 
 def save_png(path: str, img, tonemap: bool = True):

@@ -19,7 +19,7 @@ def main():
     from wurblpt_tpu import CameraConfig, SensorRGB, make_camera
     from wurblpt_tpu.core.transform import Transformation, from_lookat
     from wurblpt_tpu.scene import builder as B
-    from wurblpt_tpu.scene.animation import AnimationKeyframes
+    from wurblpt_tpu.scene.builder import AnimationKeyframes
     from wurblpt_tpu.utils.scenes import _quad_to
 
     duration = args.frames / args.fps

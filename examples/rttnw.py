@@ -49,7 +49,7 @@ def main():
     from wurblpt_tpu.core.transform import Transformation, from_lookat
     from wurblpt_tpu.scene import builder as B
     from wurblpt_tpu.scene import generator as G
-    from wurblpt_tpu.scene.animation import AnimationKeyframes
+    from wurblpt_tpu.scene.builder import AnimationKeyframes
     from wurblpt_tpu.scene.ir import TextureType
 
     rng = np.random.default_rng(42)

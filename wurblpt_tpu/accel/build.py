@@ -23,9 +23,11 @@ import jax.numpy as jnp
 from ..scene.ir import BVHArrays
 
 LEAF_SIZE = 4          # small scenes: few prims per leaf keeps tile work low
-LEAF_SIZE_LARGE = 16   # big scenes; TPU sweep at 100k tris / 76800 rays:
-#                        leaf 4: 1.46 s/cast, 8: 1.29, 16: 1.24, 64: 4.46
-#                        (two-phase walk pays leaf gathers per VISIT)
+LEAF_SIZE_LARGE = 64   # big scenes; TPU closest-cast sweep at 100k tris /
+#                        76800 rays WITH octant front-to-back + packed leaves:
+#                        leaf 8: 756 ms, 16: 558, 32: 407, 64: 355 (fewer
+#                        leaf VISITS once ordering prunes, so wide tiles win;
+#                        without octant ordering 64 was the worst at 4.46 s)
 
 
 # ---------------------------------------------------------------------------
