@@ -129,3 +129,21 @@ def test_local_shard_rows_subset_meshes():
         start, count = local_shard_rows(100, mesh)
         # single process: this process owns ALL rows of any of its meshes
         assert (start, count) == (0, 100), (n, start, count)
+
+
+def test_sharded_wavefront_equals_single_device():
+    """The production wavefront under an 8-device mesh must equal the
+    single-device wavefront (counter-based RNG, lane-partitioned by GSPMD)."""
+    from wurblpt_tpu.parallel.sharding import render_frame_wavefront_sharded
+    from wurblpt_tpu.render.integrator import render_frame_wavefront
+
+    w, h = 16, 24
+    arrays, static, cam = _setup(w, h)
+    sensor = SensorRGB()
+    single = np.asarray(render_frame_wavefront(
+        arrays, static, cam, CameraConfig(), sensor, w, h, 2, params=_PARAMS))
+    mesh8 = make_ray_mesh(jax.devices()[:8])
+    sharded = np.asarray(render_frame_wavefront_sharded(
+        arrays, static, cam, CameraConfig(), sensor, w, h, 2,
+        mesh=mesh8, params=_PARAMS))
+    np.testing.assert_allclose(sharded, single, atol=5e-5)

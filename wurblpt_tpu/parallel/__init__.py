@@ -1,6 +1,11 @@
 """Multi-chip / multi-host parallelism (the reference's mpi.hpp, TPU-native)."""
 
-from .sharding import make_ray_mesh, render_frame_sharded, training_step
+from .sharding import (
+    make_ray_mesh,
+    render_frame_sharded,
+    render_frame_wavefront_sharded,
+    training_step,
+)
 from .distributed import (
     init_multihost,
     make_global_mesh,
@@ -11,6 +16,7 @@ from .distributed import (
 __all__ = [
     "make_ray_mesh",
     "render_frame_sharded",
+    "render_frame_wavefront_sharded",
     "training_step",
     "init_multihost",
     "make_global_mesh",

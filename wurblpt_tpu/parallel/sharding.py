@@ -109,6 +109,60 @@ def render_frame_sharded(
     return img[:height] if pad_height != height else img
 
 
+def render_frame_wavefront_sharded(
+    scene,
+    static: SceneStatic,
+    cam: CameraParams,
+    cam_cfg: CameraConfig,
+    sensor,
+    width: int,
+    height: int,
+    samples_sqrt: int,
+    mesh: Optional[Mesh] = None,
+    t0: float = 0.0,
+    t1: float = 0.0,
+    params: RenderParams = RenderParams(),
+    max_lanes: int = 131072,
+):
+    """The PRODUCTION inference path on a mesh: the persistent-lane wavefront
+    with its framebuffer rows sharded over the "rays" axis (scene replicated,
+    lanes row-partitioned by GSPMD from the output constraint).
+
+    Same height-padding contract as `render_frame_sharded`; bitwise equality
+    with the single-device wavefront is guaranteed by the counter-based RNG
+    (verified in tests/test_sharding.py).
+    """
+    from ..render.integrator import render_frame_wavefront
+
+    if mesh is None:
+        mesh = make_ray_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    can_pad = cam_cfg.surround == SurroundMode.OFF and not cam_cfg.stereo
+    if can_pad:
+        pad_height = -(-height // n_dev) * n_dev
+    else:
+        assert height % n_dev == 0, (
+            f"height {height} not divisible by {n_dev} devices "
+            "(surround/stereo frames cannot be row-padded)"
+        )
+        pad_height = height
+
+    rep = NamedSharding(mesh, P())
+    out_sh = NamedSharding(mesh, P(axis, None, None))
+
+    def run(scene_in, cam_in):
+        img = render_frame_wavefront(
+            scene_in, static, cam_in, cam_cfg, sensor, width, pad_height,
+            samples_sqrt, t0, t1, params, max_lanes=max_lanes,
+        )
+        return jax.lax.with_sharding_constraint(img, out_sh)
+
+    fn = jax.jit(run, in_shardings=(rep, rep), out_shardings=out_sh)
+    img = fn(scene, cam)
+    return img[:height] if pad_height != height else img
+
+
 def training_step(
     scene,
     static: SceneStatic,
