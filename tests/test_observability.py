@@ -84,3 +84,40 @@ def test_metadata_stamp_roundtrip(tmp_path):
     assert float(tags["WURBLPT/MRAYS_PER_S"]) > 0
     assert tags["WURBLPT/SCENE"] == "cornell"
     assert os.path.exists(str(tmp_path / "out.json"))
+
+
+def test_motion_blur_wavefront_reports_real_stats():
+    """The wavefront's t0!=t1 fallback must report REAL cast counters, not
+    zeros (round-2 weak item 7: a motion-blur bench would have divided by
+    zero rays)."""
+    from wurblpt_tpu import render_frame_wavefront
+    from wurblpt_tpu.core.transform import Transformation, from_lookat
+    from wurblpt_tpu.scene import builder as B
+    from wurblpt_tpu.scene.builder import AnimationKeyframes
+    from wurblpt_tpu.scene.generator import generate_quad
+
+    sc = B.Scene()
+    anim = AnimationKeyframes(
+        times=[0.0, 1.0],
+        transformations=[Transformation.make(translation=(0, 0, 0)),
+                         Transformation.make(translation=(0.5, 0, 0))])
+    aid = sc.take_animation(anim)
+    sc.take_mesh_instance(B.MeshInstance(
+        mesh=generate_quad(1.0, 1.0),
+        material=B.Lambertian(albedo=(0.6,) * 3), animation=aid))
+    sc.take_sphere(B.SphereObject((0, 0, 4), 0.3,
+                                  B.LightDiffuse(radiance=(9.0,) * 3)),
+                   hot_spot=True)
+    scene = sc.build(t0=0.0, t1=1.0)
+    static = SceneStatic.from_scene(scene)
+    cam = make_camera(transformation=None, vfov_deg=50.0, width=12, height=12)
+    from wurblpt_tpu.core.transform import from_lookat as _fl
+    cam = make_camera(transformation=_fl((0, 0, 2.5), (0, 0, 0)),
+                      vfov_deg=50.0, width=12, height=12)
+    img, stats = render_frame_wavefront(
+        scene, static, cam, CameraConfig(), SensorRGB(), 12, 12, 2,
+        t0=0.0, t1=1.0, params=RenderParams(max_path_components=3),
+        return_stats=True)
+    s = np.asarray(stats)
+    assert s[0] > 12 * 12 * 4  # at least one closest cast per path
+    assert s[1] >= s[0]

@@ -154,8 +154,11 @@ def trace_paths(
     pixel_id,
     sample_id,
     params: RenderParams,
+    return_stats: bool = False,
 ):
-    """Trace one batch of camera rays to completion; returns acc [N, sensor.n_acc]."""
+    """Trace one batch of camera rays to completion; returns acc
+    [N, sensor.n_acc] (with `return_stats`, also the [2] int32 cast counters
+    (closest, total incl. shadow) for honest Mrays/s accounting)."""
     n = o.shape[0]
 
     # Per-ray animation frames (the AnimationCache analog, animation.hpp:52-125):
@@ -213,6 +216,8 @@ def trace_paths(
         )
     else:
         final = jax.lax.while_loop(cond, body, init)
+    if return_stats:
+        return final.acc, final.stats
     return final.acc
 
 
@@ -543,12 +548,12 @@ def render_frame_wavefront(
     """
     if static.has_anim and t0 != t1:
         # Motion blur re-samples ray time per path; the per-trace AnimCtx
-        # tables would go stale across regenerations. Use the pass renderer.
-        img = render_frame(scene, static, cam, cam_cfg, sensor, width, height,
-                           samples_sqrt, t0, t1, params)
-        if return_stats:
-            return img, jnp.zeros((2,), jnp.int32)
-        return img
+        # tables would go stale across regenerations. Use the pass renderer —
+        # WITH its real cast counters, so motion-blur benches report honest
+        # Mrays/s instead of zeros.
+        return render_frame(scene, static, cam, cam_cfg, sensor, width, height,
+                            samples_sqrt, t0, t1, params,
+                            return_stats=return_stats)
     spp = samples_sqrt * samples_sqrt
     n_pix = width * height
     if n_pix >= max_lanes:
@@ -757,24 +762,29 @@ def render_frame(
     t1: float = 0.0,
     params: RenderParams = RenderParams(),
     samples_per_pass: int = 1,
+    return_stats: bool = False,
 ):
     """Render a full frame: stratified samples per pixel, sample-batch loop in
     jit (`lax.fori_loop` over passes), sensor finish at the end.
 
     Equivalent of ``mcpt(sensor, camera, scene, samplesSqrt, t0, t1, params)``
-    (wurblpt.hpp:279-449). Returns the finished image [height, width, n_acc].
+    (wurblpt.hpp:279-449). Returns the finished image [height, width, n_acc]
+    (+ the [2] int32 cast counters with `return_stats`).
     """
     spp = samples_sqrt * samples_sqrt
     assert spp % samples_per_pass == 0, "samples_per_pass must divide spp"
     n_pass = spp // samples_per_pass
     n_pix = width * height
-    img = accumulate_passes(
+    img, stats = accumulate_passes(
         scene, static, cam, cam_cfg, sensor, width, height, samples_sqrt,
         t0, t1, params, samples_per_pass,
-        jnp.zeros((n_pix, sensor.n_acc)), 0, n_pass,
+        jnp.zeros((n_pix, sensor.n_acc)), 0, n_pass, return_stats=True,
     )
     img = sensor.finish(img, 1.0 / spp)
-    return img.reshape(height, width, sensor.n_acc)
+    img = img.reshape(height, width, sensor.n_acc)
+    if return_stats:
+        return img, stats
+    return img
 
 
 def accumulate_passes(
@@ -794,9 +804,11 @@ def accumulate_passes(
     pass_start: int,
     n_pass: int,
     sample_offset=0,
+    return_stats: bool = False,
 ):
     """Accumulate `n_pass` sample passes starting at pass index `pass_start`
     into the raw sensor accumulator `img_acc` [n_pix, n_acc].
+    With `return_stats`, also return the summed [2] int32 cast counters.
 
     `sample_offset` (may be traced) shifts every global sample id — the
     reverse-differentiable way to draw a different stratified sample window
@@ -828,7 +840,8 @@ def accumulate_passes(
     t0f = jnp.float32(t0)
     t1f = jnp.float32(t1)
 
-    def one_pass(p, img_acc):
+    def one_pass(p, carry):
+        img_acc, stats_acc = carry
         s = p * samples_per_pass + s_local + sample_offset
         # stratified jitter (wurblpt.hpp:350-359)
         si = (s % samples_sqrt).astype(jnp.float32)
@@ -847,13 +860,20 @@ def accumulate_passes(
             cam, cam_cfg, pxy, width, height, t0f, t1f, u_time, u_lens,
             anims=scene.anims,
         )
-        acc = trace_paths(
+        acc, stats = trace_paths(
             scene, static, sensor, o, d, time, pid, s, params,
+            return_stats=True,
         )
-        return img_acc + acc.reshape(samples_per_pass, n_pix, sensor.n_acc).sum(0)
+        return (
+            img_acc + acc.reshape(samples_per_pass, n_pix, sensor.n_acc).sum(0),
+            stats_acc + stats,
+        )
 
-    return jax.lax.fori_loop(
+    img_out, stats_out = jax.lax.fori_loop(
         pass_start, pass_start + n_pass,
-        lambda pp, ia: one_pass(jnp.int32(pp), ia),
-        img_acc,
+        lambda pp, c: one_pass(jnp.int32(pp), c),
+        (img_acc, jnp.zeros((2,), jnp.int32)),
     )
+    if return_stats:
+        return img_out, stats_out
+    return img_out
