@@ -169,3 +169,53 @@ def test_grad_tof_geometry():
         return jnp.mean(img[..., 0] - img[..., 1]) * electrons
 
     _fd_check(loss, 0.0, 5e-3, rtol=1.5e-1, atol=1e-3)
+
+
+def test_grad_rgl_table_values():
+    """Gradients flow into the MEASURED RGL reflectance tables: d(image)/d(s)
+    for a scale s on the rgb table is linear, so FD must match autodiff
+    tightly (the Marginal2D gathers/interp are differentiable end to end)."""
+    from wurblpt_tpu.materials import rgl as rgl_mod
+
+    def smooth(shape, s, lo=0.05, hi=1.0):
+        rs = np.random.RandomState(s)
+        a = rs.uniform(lo, hi, shape).astype(np.float32)
+        for ax in range(a.ndim):
+            a = 0.5 * a + 0.25 * (np.roll(a, 1, ax) + np.roll(a, -1, ax))
+        return a.astype(np.float32)
+
+    T = 4
+    fields = dict(
+        phi_i=np.zeros((1,), np.float32),
+        theta_i=np.linspace(0.0, np.pi / 2, T).astype(np.float32),
+        ndf=smooth((16, 16), 1),
+        sigma=smooth((16, 16), 2, 0.2, 0.4),
+        vndf=smooth((1, T, 16, 16), 3),
+        luminance=smooth((1, T, 8, 8), 4),
+        rgb=smooth((1, T, 3, 8, 8), 5),
+    )
+    sc = B.Scene()
+    sc.take_rgl_table("m", rgl_mod.load_rgl_material(fields))
+    rid = sc.take_material(B.RGLMaterial(table_name="m"))
+    sc.take_mesh_instance(B.MeshInstance(mesh=G.generate_quad(1.2, 1.2),
+                                         material=rid))
+    sc.take_sphere(B.SphereObject((0.4, 0.9, 2.2), 0.3,
+                                  B.LightDiffuse(radiance=(14.0,) * 3)),
+                   hot_spot=True)
+    scene = sc.build()
+    static = SceneStatic.from_scene(scene)
+    w = h = 12
+    cam = make_camera(transformation=from_lookat((0, 0, 2.2), (0, 0, 0)),
+                      vfov_deg=45.0, width=w, height=h)
+
+    base_rgb = scene.rgl.rgb
+
+    def loss(s):
+        sc2 = scene._replace(rgl=scene.rgl._replace(rgb=base_rgb * s))
+        img = render_frame(sc2, static, cam, CameraConfig(), SensorRGB(),
+                           w, h, 2, params=PARAMS)
+        return jnp.mean(img)
+
+    g, fd = _fd_check(loss, 1.0, 1e-2, rtol=3e-2)
+    # direct-lighting dominated: loss is ~linear in the table scale
+    assert g > 0
