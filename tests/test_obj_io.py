@@ -157,3 +157,39 @@ def test_bump_to_normal_map():
     ramp = np.tile(np.linspace(0, 1, 16, dtype=np.float32), (8, 1))
     nm = bump_to_normal_map(ramp)
     assert nm[4, 8, 0] < 0.5
+
+
+def test_export_import_textured_roundtrip(tmp_path):
+    """Textured materials survive the OBJ/MTL round trip: the exporter writes
+    the texture as a PNG (texture.hpp:47-158 export protocol) and the importer
+    reloads it with matching texel values."""
+    from wurblpt_tpu.scene.generator import generate_quad
+
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[:4, :, 0] = 1.0     # top half red
+    tex[4:, :, 2] = 1.0     # bottom half blue
+    sc = B.Scene()
+    sc.take_mesh_instance(B.MeshInstance(
+        mesh=generate_quad(1.0, 1.0),
+        material=B.Lambertian(albedo=B.ImageTexture(image=tex, srgb=False))))
+    out = str(tmp_path / "textured.obj")
+    export_scene_to_obj(sc, out)
+    pngs = [p for p in os.listdir(str(tmp_path)) if p.endswith(".png")]
+    assert pngs, "exporter must write the texture image"
+
+    sc2 = B.Scene()
+    import_into_scene(sc2, out)
+    arrays = sc2.build()
+    # the imported material carries an image texture...
+    assert arrays.textures.img_data.shape[0] >= 1
+    # ...and sampling reproduces the halves (allow sRGB encode/decode slack)
+    import jax.numpy as jnp
+    from wurblpt_tpu.render.texture import sample_texture
+
+    tex_id = int(np.asarray(arrays.materials.albedo_tex).max())
+    assert tex_id >= 0
+    uv = jnp.asarray([[0.5, 0.75], [0.5, 0.25]], jnp.float32)  # top / bottom
+    vals = np.asarray(sample_texture(
+        arrays.textures, jnp.full((2,), tex_id, jnp.int32), uv))
+    assert vals[0, 0] > 0.8 and vals[0, 2] < 0.2   # red half
+    assert vals[1, 2] > 0.8 and vals[1, 0] < 0.2   # blue half
