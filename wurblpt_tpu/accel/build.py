@@ -16,6 +16,8 @@ device traversal intersects a static-shape primitive tile per leaf step.
 from __future__ import annotations
 
 import ctypes
+import os
+from collections import deque
 
 import numpy as np
 import jax.numpy as jnp
@@ -28,6 +30,14 @@ LEAF_SIZE_LARGE = 64   # big scenes; TPU closest-cast sweep at 100k tris /
 #                        leaf 8: 756 ms, 16: 558, 32: 407, 64: 355 (fewer
 #                        leaf VISITS once ordering prunes, so wide tiles win;
 #                        without octant ordering 64 was the worst at 4.46 s)
+BVH_WIDTH = 8          # wide-node branching factor (children per wide node).
+#                        TPU gathers pay per ROW DESCRIPTOR (~17 ns/row,
+#                        PROFILE.md section 2), so packing all W children's
+#                        AABBs + links into ONE gathered row and slab-testing
+#                        them vectorized cuts the dominant cost — lockstep
+#                        gather count — by ~W/2 vs the binary threaded walk
+#                        (one row gather tests W boxes instead of two gathers
+#                        testing one).
 
 
 # ---------------------------------------------------------------------------
@@ -211,6 +221,93 @@ def _build_numpy(amin, amax, cent, leaf_size):
 
 
 # ---------------------------------------------------------------------------
+# Wide-node collapse (binary SAH tree -> W-ary single-row nodes)
+# ---------------------------------------------------------------------------
+
+def _collapse_wide(built, leaf_size: int, width: int):
+    """Collapse the binary builder output into a W-ary BVH packed for ONE
+    row gather per traversal step.
+
+    The reference's stack traversal touches one binary node per step
+    (``bvh.hpp:277-311``); on TPU each touch is a row gather priced per
+    descriptor, so a W-wide node — all children's AABBs and links in one
+    contiguous row — tests W boxes for the price of one gather. Collapse
+    policy (Wald-style): starting from a binary node's two children, keep
+    replacing the largest-surface-area inner member with its own children
+    until W members exist. Each member becomes either a leaf slot or a new
+    wide node.
+
+    Returns (rows [M, W*7] f32, stack_depth int). Row layout per child j:
+    ``rows[m, 7j:7j+6]`` = AABB min/max, ``rows[m, 7j+6]`` = int32 link
+    bitcast to f32: ``>= 0`` wide child id, ``<= -2`` leaf (leaf_row =
+    -link - 2), ``-1`` empty slot (box is +inf/-inf so the slab test
+    misses).
+    """
+    node_min, node_max, prim_start, prim_count, miss_next, _ = built
+    node_min = np.asarray(node_min, np.float32)
+    node_max = np.asarray(node_max, np.float32)
+    prim_count = np.asarray(prim_count, np.int32)
+    n = prim_count.shape[0]
+    is_leaf = prim_count > 0
+    child1 = np.where(~is_leaf, np.arange(n, dtype=np.int32) + 1, -1)
+    child2 = np.full(n, -1, np.int32)
+    inner = ~is_leaf
+    child2[inner] = np.asarray(miss_next, np.int32)[child1[inner]]
+    assert (child2[inner] >= 0).all(), "binary layout violation: single-child inner node"
+    leaf_row = np.where(is_leaf, np.asarray(prim_start, np.int32) // leaf_size, -1)
+    ext = np.maximum(node_max - node_min, 0.0)
+    area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+
+    members_of = []          # wide id -> list of binary member ids
+    wid_of = {}
+    q = deque()
+    if is_leaf[0]:
+        members_of.append([0])
+    else:
+        wid_of[0] = 0
+        members_of.append(None)
+        q.append(0)
+    depth_of = {0: 1}
+    max_depth = 1
+    while q:
+        b = q.popleft()
+        w = wid_of[b]
+        members = [child1[b], child2[b]]
+        while len(members) < width:
+            cand = [m for m in members if not is_leaf[m]]
+            if not cand:
+                break
+            m = max(cand, key=lambda x: area[x])
+            members.remove(m)
+            members.append(child1[m])
+            members.append(child2[m])
+        members_of[w] = members
+        d = depth_of[w] + 1
+        for m in members:
+            if not is_leaf[m]:
+                wid_of[m] = len(members_of)
+                depth_of[len(members_of)] = d
+                max_depth = max(max_depth, d)
+                members_of.append(None)
+                q.append(m)
+
+    M = len(members_of)
+    rows = np.zeros((M, width, 7), np.float32)
+    rows[..., 0:3] = np.inf
+    rows[..., 3:6] = -np.inf
+    links = np.full((M, width), -1, np.int32)
+    for w, members in enumerate(members_of):
+        for j, m in enumerate(members):
+            rows[w, j, 0:3] = node_min[m]
+            rows[w, j, 3:6] = node_max[m]
+            links[w, j] = (-2 - leaf_row[m]) if is_leaf[m] else wid_of[m]
+    rows[..., 6] = links.view(np.float32)
+    # A lane pushes at most (W-1) entries per descended level.
+    stack_depth = max_depth * (width - 1) + 2
+    return rows.reshape(M, width * 7), stack_depth
+
+
+# ---------------------------------------------------------------------------
 # Public entry
 # ---------------------------------------------------------------------------
 
@@ -277,6 +374,13 @@ def pack_bvh(built, leaf_size: int, tris_np=None, spheres_np=None,
                 np.where(leaf_prims >= 0, alla[np.clip(pid, 0, max(alla.size - 1, 0))], 0)
                 .astype(np.int32))
 
+    wide_nodes = wide_meta = None
+    if os.environ.get("WURBLPT_BVH_WIDE", "1") != "0":
+        width = int(os.environ.get("WURBLPT_BVH_WIDTH", str(BVH_WIDTH)))
+        wrows, stack_depth = _collapse_wide(built, leaf_size, width)
+        wide_nodes = jnp.asarray(wrows)
+        wide_meta = jnp.zeros((stack_depth,), jnp.uint8)
+
     return BVHArrays(
         node_f=jnp.asarray(node_f),
         node_i=jnp.asarray(node_i),
@@ -284,6 +388,8 @@ def pack_bvh(built, leaf_size: int, tris_np=None, spheres_np=None,
         leaf_geom=leaf_geom,
         leaf_anim=leaf_anim,
         node_oct=jnp.asarray(node_oct),
+        wide_nodes=wide_nodes,
+        wide_meta=wide_meta,
     )
 
 
@@ -305,6 +411,10 @@ def _octant_links(node_min, node_max, leaf_row, miss_next):
     child2 = np.full(n, -1, np.int32)
     inner = ~is_leaf
     child2[inner] = miss_next[child1[inner]]
+    # Every inner node must have exactly two children in the pre-order
+    # layout; a single-child node would make child2 = -1 and the threading
+    # loop below would silently corrupt miss[-1]/hit[-1] for all octants.
+    assert (child2[inner] >= 0).all(), "binary layout violation: single-child inner node"
     centers = 0.5 * (node_min + node_max)
     axis = np.zeros(n, np.int32)
     ci = child1[inner]
@@ -362,7 +472,11 @@ def build_bvh_arrays(tris_np, spheres_np, leaf_size: int = None,
     if amin.shape[0] == 0:
         raise ValueError("cannot build a BVH over an empty scene")
     if leaf_size is None:
-        leaf_size = LEAF_SIZE if amin.shape[0] < 4096 else LEAF_SIZE_LARGE
+        env_leaf = os.environ.get("WURBLPT_BVH_LEAF")
+        if env_leaf:
+            leaf_size = int(env_leaf)
+        else:
+            leaf_size = LEAF_SIZE if amin.shape[0] < 4096 else LEAF_SIZE_LARGE
     built = _build_native(amin, amax, cent, leaf_size)
     if built is None:
         built = _build_numpy(amin, amax, cent, leaf_size)

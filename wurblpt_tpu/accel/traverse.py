@@ -1,33 +1,40 @@
-"""Wavefront BVH traversal: stackless threaded walk over the whole ray batch.
+"""Wavefront BVH traversal over the whole ray batch.
 
 The reference traverses its flattened SAH tree with an explicit per-ray
-128-deep stack (``libwurblpt/bvh.hpp:277-311``). A per-ray stack is hostile to
-SIMD wavefronts, so here the tree is *threaded* at build time
-(:mod:`wurblpt_tpu.accel.build`): every step is
+128-deep stack (``libwurblpt/bvh.hpp:277-311``). Two TPU traversals live here:
 
-    advance  = node + 1            on AABB hit at an inner node
-    advance  = miss_next[node]     on AABB miss, or after a leaf's prims
+**Wide path (default, round 4)** — ``_wide_closest_hit`` / ``_wide_any_hit``:
+the binary SAH tree is collapsed into W-ary nodes whose children's AABBs and
+links occupy ONE gathered row (build._collapse_wide), so each lockstep step
+pays one row descriptor and slab-tests W children vectorized; an exact
+per-lane short stack (single-pass one-hot push of the sorted-children prefix,
+``_stack_push_sorted``) gives true front-to-back order with best-t pruning.
+Two further measured facts shape it:
 
-and the whole batch walks in lockstep inside one ``lax.while_loop``; lanes that
-finished idle on node -1 (remapped to node 0 gathers, results masked). Leaves
-are a static K-wide primitive tile (K = ``leaf_prims.shape[1]``, a build-time
-knob) so each step has a fixed shape — divergence across rays costs masked
-work, not recompilation.
+* the lockstep tail is the enemy: the mean ray finishes in ~6 steps but the
+  max runs ~10x longer, and every step pays one row gather per LANE whether
+  live or idle — so live lanes are periodically COMPACTED into 4x smaller
+  batches (``_stage_sizes``, nonzero + gather + scatter-back), and the walk
+  yields to leaf work early once few lanes still walk (walker-count exit);
+* sequential one-hot stack pushes are HBM-bound (each rewrites the whole
+  [N, D] stack); fusing all pushes into one masked pass cut the step cost
+  from 1.36 to 0.76 ms at 76800 lanes.
 
-TPU cost model (measured round 3): the walk is gather-bound, so each step does
-exactly TWO row gathers (packed ``node_f``/``node_i``) and the leaf width is
-WIDE for big scenes (64 prims/leaf) — tile intersection is vectorized VPU work
-that cuts lockstep step counts by an order of magnitude vs 4-wide leaves.
+Net effect (terrain_city, 102k tris, 76800 camera rays, TPU v5lite):
+closest cast 418 -> 81 ms, any-hit 297 -> 67 ms vs the round-3 binary walk.
 
-Unlike the reference's stack traversal there is no near-child-first ordering
-(the thread order is fixed at build time); the SAH layout plus the shrinking
-`best_t` cull keeps visited-node counts close, and every visit is pure VPU
-work.
+**Binary threaded path (fallback)** — retained for BVHs built with
+``WURBLPT_BVH_WIDE=0`` and raw-array scenes without packed leaf geometry:
+nodes are *threaded* at build time (advance to node+1 on AABB hit,
+``miss_next[node]`` on miss) with per-octant front-to-back link tables, a
+stackless walk whose per-step cost is two row gathers for one box test.
 
-Triangle tests inside leaves are WATERTIGHT (intersect.watertight_tri, Woop
-semantics per ``hitable_triangle.hpp:189-274``) when the scene carries
-absolute vertices; the Moller-Trumbore fallback only remains for raw-array
-scenes built without them.
+Both paths share the two-phase structure (walk-to-leaf, then one packed
+leaf-tile gather per leaf VISIT) and the leaf intersectors. Triangle tests
+inside leaves are WATERTIGHT (intersect.watertight_tri, Woop semantics per
+``hitable_triangle.hpp:189-274``) when the scene carries absolute vertices;
+the Moller-Trumbore fallback only remains for raw-array scenes built without
+them.
 """
 
 from __future__ import annotations
@@ -300,6 +307,326 @@ def _walk_to_leaf(bvh, o, inv_d, t_min, node, tmax_eff, oct_base=None):
     return node
 
 
+# ---------------------------------------------------------------------------
+# Wide-BVH traversal (one row gather tests W children; exact short stack)
+# ---------------------------------------------------------------------------
+#
+# The binary threaded walk pays TWO row gathers per node VISIT to test ONE
+# box; with gathers priced per row descriptor (~17 ns/row, PROFILE.md
+# section 2) that is the whole cost. A W-wide node packs all W children's
+# AABBs + links into one [W*7] f32 row (build._collapse_wide): one gather,
+# W vectorized slab tests, exact per-lane front-to-back ordering via a short
+# stack. The stack lives in loop state as [N, D] arrays manipulated with
+# one-hot masks — pure VPU work, no per-lane dynamic gathers (which Mosaic
+# rejects and XLA prices per row).
+
+def _wide_decode(bvh):
+    """(wide rows [M, W, 7], W, stack depth D)."""
+    wn = bvh.wide_nodes
+    W = wn.shape[1] // 7
+    return wn, W, bvh.wide_meta.shape[0]
+
+
+def _wide_children(bvh, node, o, inv_d, t_min, t_max_eff, W):
+    """Gather each lane's wide node row and slab-test all W children.
+
+    Returns (t_near [N, W] — BIG where missed/invalid, links [N, W]).
+    """
+    ns = jnp.maximum(node, 0)
+    row = bvh.wide_nodes[ns].reshape(ns.shape[0], W, 7)   # ONE gather
+    bmin = row[..., 0:3]
+    bmax = row[..., 3:6]
+    links = jax.lax.bitcast_convert_type(row[..., 6], jnp.int32)
+    t0 = (bmin - o[:, None, :]) * inv_d[:, None, :]
+    t1 = (bmax - o[:, None, :]) * inv_d[:, None, :]
+    tlo = jnp.minimum(t0, t1)
+    thi = jnp.maximum(t0, t1)
+    near = jnp.maximum(jnp.max(tlo, axis=-1), t_min[:, None])
+    far = jnp.minimum(jnp.min(thi, axis=-1), t_max_eff[:, None])
+    hit = (near <= far) & (links != -1) & (node >= 0)[:, None]
+    return jnp.where(hit, near, BIG), links
+
+
+def _stack_push(stack_l, stack_t, sp, link, tval, mask):
+    """Push (link, tval) on lanes where mask; one-hot write at sp."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, stack_l.shape, 1)
+    oh = (iota == sp[:, None]) & mask[:, None]
+    return (
+        jnp.where(oh, link[:, None], stack_l),
+        jnp.where(oh, tval[:, None], stack_t),
+        sp + mask.astype(jnp.int32),
+    )
+
+
+def _stack_push_sorted(stack_l, stack_t, sp, links, tnear, live):
+    """Push children 1..cnt-1 of the SORTED candidate list in far-to-near
+    order (nearest ends on top) — in ONE pass over the stack.
+
+    Sequential one-hot pushes materialize the whole [N, D] stack in HBM once
+    per push; W-1 of them made the stack ops ~70% of the step cost (measured
+    0.94 of 1.36 ms/step at 76800 lanes). Writing all pushed slots in a
+    single masked update pays the stack traffic once. `tnear` ascending with
+    BIG for invalid, so valid candidates are the prefix [0, cnt_all); slot
+    p in [sp, sp+cnt_all-1) receives child j = sp + cnt_all - 1 - p.
+    """
+    W = links.shape[1]
+    valid = tnear < BIG
+    cnt_all = jnp.sum(valid.astype(jnp.int32), axis=1)
+    cnt = jnp.maximum(cnt_all - 1, 0) * live.astype(jnp.int32)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, stack_l.shape, 1)
+    jp = sp[:, None] + cnt_all[:, None] - 1 - iota_d
+    in_push = (iota_d >= sp[:, None]) & (iota_d < (sp + cnt)[:, None])
+    oh = jp[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, stack_l.shape + (W,), 2)
+    newl = jnp.sum(jnp.where(oh, links[:, None, :], 0), axis=-1)
+    newt = jnp.sum(jnp.where(oh, tnear[:, None, :], 0.0), axis=-1)
+    return (
+        jnp.where(in_push, newl, stack_l),
+        jnp.where(in_push, newt, stack_t),
+        sp + cnt,
+    )
+
+
+def _stack_pop(stack_l, stack_t, sp, best, mask):
+    """Pop the topmost entry whose recorded entry-t still beats `best` on
+    lanes where mask; entries above it (all provably prunable) are discarded
+    by moving sp. Returns (node [-1 = empty], new_sp)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, stack_l.shape, 1)
+    live = (iota < sp[:, None]) & (stack_t < best[:, None])
+    top = jnp.max(jnp.where(live, iota, -1), axis=1)
+    any_v = top >= 0
+    oh = iota == top[:, None]
+    link = jnp.sum(jnp.where(oh & live, stack_l, 0), axis=1)
+    node = jnp.where(any_v, link, -1)
+    new_sp = jnp.where(mask, jnp.maximum(top, 0), sp)
+    return jnp.where(mask, node, 0), new_sp
+
+
+def _wide_walk_to_leaf(bvh, o, inv_d, t_min, t_max, node, sp, stack_l,
+                       stack_t, best_t, ordered: bool, stop_count: int = 0):
+    """Advance every lane to its next LEAF (node <= -2) or to done (-1).
+
+    `ordered`: sort hit children front-to-back (closest hit) so the shrinking
+    best_t prunes; any-hit skips the sort (visit order is irrelevant).
+
+    `stop_count`: break out early once the number of lanes still WALKING
+    (node >= 0) drops to this bound while at least one lane is parked at a
+    leaf — the parked majority then proceeds to leaf work instead of idling
+    through the walk's straggler tail (every lockstep step pays one row
+    gather per LANE whether live or idle, so batch width, not walker count,
+    is the cost). Progress is guaranteed: with nothing parked the walk
+    continues regardless of the walker count.
+    """
+    wn, W, D = _wide_decode(bvh)
+
+    def cond(state):
+        nd = state[0]
+        walking = nd >= 0
+        any_walking = jnp.any(walking)
+        if stop_count <= 0:
+            return any_walking
+        few = jnp.sum(walking.astype(jnp.int32)) <= stop_count
+        parked = jnp.any(nd <= -2)
+        return any_walking & ~(few & parked)
+
+    def body(state):
+        node, sp, stack_l, stack_t = state
+        live = node >= 0
+        tmax_eff = jnp.minimum(t_max, best_t)
+        tnear, links = _wide_children(bvh, node, o, inv_d, t_min, tmax_eff, W)
+        # Sort even on the unordered (any-hit) path: it is ~10% of a step and
+        # makes valid candidates a PREFIX, enabling the single-pass push.
+        tnear, links = jax.lax.sort((tnear, links), dimension=1, num_keys=1)
+        first_hit = tnear[:, 0] < BIG
+        desc = links[:, 0]
+        stack_l, stack_t, sp = _stack_push_sorted(
+            stack_l, stack_t, sp, links, tnear, live)
+        popped, sp = _stack_pop(stack_l, stack_t, sp, jnp.minimum(t_max, best_t),
+                                live & ~first_hit)
+        node = jnp.where(live, jnp.where(first_hit, desc, popped), node)
+        return node, sp, stack_l, stack_t
+
+    return jax.lax.while_loop(cond, body, (node, sp, stack_l, stack_t))
+
+
+def _stage_sizes(n: int):
+    """Compaction schedule: full width, then /4 steps down to ~8k lanes.
+
+    Measured live-lane histogram (terrain_city, 76800 camera rays): the
+    average ray finishes in ~6 lockstep steps but the lockstep tail runs to
+    ~95 — by step 7 under 11% of lanes are live, yet every step still pays
+    one row-descriptor per LANE (PROFILE.md section 2). Re-packing survivors
+    into a 4x smaller batch caps that waste at a bounded geometric overhead.
+    """
+    import os
+
+    min_stage = int(os.environ.get("WURBLPT_BVH_MIN_STAGE", "256"))
+    sizes = [n]
+    while sizes[-1] >= 4 * min_stage:
+        sizes.append(sizes[-1] // 4)
+    return sizes
+
+
+def _compact_gather(idx, valid, *arrays):
+    """Gather rows `idx` of each array (idx already clipped); rows where
+    ~valid are garbage the caller must mask."""
+    return tuple(a[idx] for a in arrays)
+
+
+def _wide_closest_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
+    bvh = scene.bvh
+    n = o.shape[0]
+    _, W, D = _wide_decode(bvh)
+
+    def run_stage(o_s, d_s, t_min_s, t_max_s, obj_s, state, stop):
+        inv_d = jnp.where(
+            jnp.abs(d_s) > 1e-20, 1.0 / jnp.where(d_s == 0.0, 1.0, d_s), BIG)
+        m = o_s.shape[0]
+
+        def cond(state):
+            unfinished = state[0] != -1
+            if stop <= 0:
+                return jnp.any(unfinished)
+            return jnp.sum(unfinished.astype(jnp.int32)) > stop
+
+        def body(state):
+            node, sp, stack_l, stack_t, bt, bp, bu, bv = state
+            node, sp, stack_l, stack_t = _wide_walk_to_leaf(
+                bvh, o_s, inv_d, t_min_s, t_max_s, node, sp, stack_l, stack_t,
+                bt, ordered=True, stop_count=m // 4)
+            on_leaf = node <= -2
+            leaf_row = jnp.where(on_leaf, -node - 2, -1)
+            pids, t_all, u, v, _ = _packed_leaf_tests(
+                scene, bvh, o_s, d_s, t_min_s, bt, leaf_row, on_leaf, obj_s)
+            t_all = jnp.where(t_all < bt[:, None], t_all, BIG)
+            k = jnp.argmin(t_all, axis=-1)
+            rows = jnp.arange(m)
+            tk = t_all[rows, k]
+            closer = tk < bt
+            is_tri_win = pids[rows, k] < scene.n_tris
+            bt = jnp.where(closer, tk, bt)
+            bp = jnp.where(closer, pids[rows, k], bp)
+            bu = jnp.where(closer, jnp.where(is_tri_win, u[rows, k], 0.0), bu)
+            bv = jnp.where(closer, jnp.where(is_tri_win, v[rows, k], 0.0), bv)
+            popped, sp = _stack_pop(stack_l, stack_t, sp,
+                                    jnp.minimum(t_max_s, bt), on_leaf)
+            node = jnp.where(on_leaf, popped, node)
+            return node, sp, stack_l, stack_t, bt, bp, bu, bv
+
+        return jax.lax.while_loop(cond, body, state)
+
+    state = (
+        jnp.zeros((n,), jnp.int32),                 # node (wide root = 0)
+        jnp.zeros((n,), jnp.int32),                 # sp
+        jnp.zeros((n, D), jnp.int32),               # stack links
+        jnp.full((n, D), BIG),                      # stack entry t
+        jnp.full((n,), BIG),                        # best t
+        jnp.full((n,), -1, jnp.int32),              # best prim
+        jnp.zeros((n,)),                            # best u
+        jnp.zeros((n,)),                            # best v
+    )
+    sizes = _stage_sizes(n)
+    bt_f, bp_f, bu_f, bv_f = state[4:]
+    o_s, d_s, t_min_s, t_max_s, obj_s = o, d, t_min, t_max, obj_rays
+    idx_full = None                                 # map stage lane -> original
+    for si, size in enumerate(sizes):
+        stop = sizes[si + 1] if si + 1 < len(sizes) else 0
+        if si > 0:
+            node = state[0]
+            idx_stage = jnp.nonzero(node != -1, size=size,
+                                    fill_value=node.shape[0])[0]
+            valid = idx_stage < node.shape[0]
+            idx_c = jnp.minimum(idx_stage, node.shape[0] - 1)
+            state = _compact_gather(idx_c, valid, *state)
+            state = (jnp.where(valid, state[0], -1),) + state[1:]
+            o_s, d_s, t_min_s, t_max_s = _compact_gather(
+                idx_c, valid, o_s, d_s, t_min_s, t_max_s)
+            if obj_s is not None:
+                obj_s = _compact_gather(idx_c, valid, *obj_s)
+            # stage lane -> ORIGINAL row for the final scatter
+            idx_full = idx_c if idx_full is None else idx_full[idx_c]
+            idx_full = jnp.where(valid, idx_full, n)
+        state = run_stage(o_s, d_s, t_min_s, t_max_s, obj_s, state, stop)
+        if si > 0:
+            # scatter stage results back to the full-size outputs
+            bt_f = bt_f.at[idx_full].set(state[4], mode="drop")
+            bp_f = bp_f.at[idx_full].set(state[5], mode="drop")
+            bu_f = bu_f.at[idx_full].set(state[6], mode="drop")
+            bv_f = bv_f.at[idx_full].set(state[7], mode="drop")
+        else:
+            bt_f, bp_f, bu_f, bv_f = state[4:]
+    hit = bp_f >= 0
+    return jnp.where(hit, bt_f, BIG), bp_f, bu_f, bv_f
+
+
+def _wide_any_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
+    bvh = scene.bvh
+    n = o.shape[0]
+    _, W, D = _wide_decode(bvh)
+
+    def run_stage(o_s, d_s, t_min_s, t_max_s, obj_s, state, stop):
+        inv_d = jnp.where(
+            jnp.abs(d_s) > 1e-20, 1.0 / jnp.where(d_s == 0.0, 1.0, d_s), BIG)
+        m = o_s.shape[0]
+
+        def cond(state):
+            unfinished = state[0] != -1
+            if stop <= 0:
+                return jnp.any(unfinished)
+            return jnp.sum(unfinished.astype(jnp.int32)) > stop
+
+        def body(state):
+            node, sp, stack_l, stack_t, occ = state
+            node, sp, stack_l, stack_t = _wide_walk_to_leaf(
+                bvh, o_s, inv_d, t_min_s, t_max_s, node, sp, stack_l, stack_t,
+                t_max_s, ordered=False, stop_count=m // 4)
+            on_leaf = node <= -2
+            leaf_row = jnp.where(on_leaf, -node - 2, -1)
+            _, _, _, _, ok = _packed_leaf_tests(
+                scene, bvh, o_s, d_s, t_min_s, t_max_s, leaf_row, on_leaf,
+                obj_s)
+            occ = occ | jnp.any(ok, axis=-1)
+            popped, sp = _stack_pop(stack_l, stack_t, sp, t_max_s, on_leaf)
+            node = jnp.where(on_leaf, jnp.where(occ, -1, popped), node)
+            return node, sp, stack_l, stack_t, occ
+
+        return jax.lax.while_loop(cond, body, state)
+
+    state = (
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n, D), jnp.int32),
+        jnp.full((n, D), BIG),
+        jnp.zeros((n,), bool),                      # occluded
+    )
+    sizes = _stage_sizes(n)
+    occ_f = state[4]
+    o_s, d_s, t_min_s, t_max_s, obj_s = o, d, t_min, t_max, obj_rays
+    idx_full = None
+    for si, size in enumerate(sizes):
+        stop = sizes[si + 1] if si + 1 < len(sizes) else 0
+        if si > 0:
+            node = state[0]
+            idx_stage = jnp.nonzero(node != -1, size=size,
+                                    fill_value=node.shape[0])[0]
+            valid = idx_stage < node.shape[0]
+            idx_c = jnp.minimum(idx_stage, node.shape[0] - 1)
+            state = _compact_gather(idx_c, valid, *state)
+            state = (jnp.where(valid, state[0], -1),) + state[1:]
+            o_s, d_s, t_min_s, t_max_s = _compact_gather(
+                idx_c, valid, o_s, d_s, t_min_s, t_max_s)
+            if obj_s is not None:
+                obj_s = _compact_gather(idx_c, valid, *obj_s)
+            idx_full = idx_c if idx_full is None else idx_full[idx_c]
+            idx_full = jnp.where(valid, idx_full, n)
+        state = run_stage(o_s, d_s, t_min_s, t_max_s, obj_s, state, stop)
+        if si > 0:
+            occ_f = occ_f.at[idx_full].set(state[4], mode="drop")
+        else:
+            occ_f = state[4]
+    return occ_f
+
+
 def bvh_closest_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
     """Closest hit via the threaded BVH. Returns (t, prim, u, v); prim=-1 miss.
 
@@ -313,6 +640,9 @@ def bvh_closest_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
     """
     bvh = scene.bvh
     n = o.shape[0]
+    if bvh.wide_nodes is not None and bvh.leaf_geom is not None and (
+            obj_rays is None or bvh.leaf_anim is not None):
+        return _wide_closest_hit(scene, o, d, t_min, t_max, obj_rays=obj_rays)
 
     inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / jnp.where(d == 0.0, 1.0, d), BIG)
 
@@ -374,6 +704,9 @@ def bvh_any_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
     cost, so leaf tiles are paid per leaf VISIT, not per step)."""
     bvh = scene.bvh
     n = o.shape[0]
+    if bvh.wide_nodes is not None and bvh.leaf_geom is not None and (
+            obj_rays is None or bvh.leaf_anim is not None):
+        return _wide_any_hit(scene, o, d, t_min, t_max, obj_rays=obj_rays)
     inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / jnp.where(d == 0.0, 1.0, d), BIG)
 
     init = (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), bool))

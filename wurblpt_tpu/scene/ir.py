@@ -212,6 +212,16 @@ class BVHArrays(NamedTuple):
     # first order per ray direction octant lets best_t prune far subtrees
     # (the classic stack traversal's ordering without a stack).
     node_oct: jnp.ndarray = None
+    # WIDE nodes (accel.build._collapse_wide): [M, W*7] f32 rows packing all
+    # W children's AABBs + int32 links (bitcast to f32) of one W-ary node —
+    # one row gather slab-tests W children at once, and an exact per-lane
+    # near-first short stack (one-hot push/pop, accel.traverse) replaces the
+    # octant threading. W = wide_nodes.shape[1] // 7.
+    wide_nodes: jnp.ndarray = None
+    # Shape-only carrier for the traversal stack depth: [D] uint8 zeros.
+    # (A plain int field would become a traced leaf of the pytree; a static
+    # shape survives jit/shard_map unchanged.)
+    wide_meta: jnp.ndarray = None
 
 
 class EnvMapArrays(NamedTuple):
