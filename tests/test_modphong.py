@@ -150,3 +150,128 @@ def test_closed_box_no_edge_leaks():
                                   jnp.full((n,), 1e-4), jnp.full((n,), BIG))
     misses = int(np.sum(np.asarray(prim) < 0))
     assert misses == 0, f"{misses}/{n} edge/corner rays leaked through the box"
+
+
+# ---------------------------------------------------------------------------
+# map_Ks specular textures (round-4 fix: spec_tex wired through flatten and
+# sampled at shade time; lobe-pick probability computed from the same
+# shade-time kd/ks as the mixture pdf — material_modphong.hpp:129-146,213-239)
+# ---------------------------------------------------------------------------
+
+def _ks_checker_hits(n, specular, diffuse=(0.3, 0.3, 0.3)):
+    """Hits spread across a +z quad with a ModPhong(specular=`specular`)."""
+    import jax
+
+    from wurblpt_tpu.render.intersect import scene_closest_hit
+
+    sc = Scene()
+    sc.take_mesh_instance(MeshInstance(
+        mesh=generate_quad(2.0, 2.0),
+        material=ModPhong(diffuse=diffuse, specular=specular, shininess=30.0)))
+    scene = sc.build()
+    static = SceneStatic.from_scene(scene)
+    rng = np.random.default_rng(11)
+    xy = rng.uniform(-0.9, 0.9, (n, 2)).astype(np.float32)
+    o = jnp.asarray(np.concatenate([xy, np.full((n, 1), 1.5, np.float32)], 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+    hr = scene_closest_hit(scene, o, d, jnp.full((n,), 1e-4),
+                           jnp.full((n,), 1e9))
+    assert bool(hr.hit.all())
+    return scene, static, hr, d
+
+
+def test_modphong_map_ks_drives_specular():
+    """An OBJ-style map_Ks checker must modulate the specular lobe per-uv:
+    black squares shade as pure diffuse, white squares add the phong lobe.
+    (Round-3 bug: the texture id was dropped at flatten and replaced by
+    constant white.)"""
+    from wurblpt_tpu.render.bsdf import bsdf_eval
+    from wurblpt_tpu.scene.builder import CheckerTexture
+
+    n = 4096
+    checker = CheckerTexture(color1=(0, 0, 0), color2=(1, 1, 1), squares=(4, 4))
+    scene, static, hr, d = _ks_checker_hits(n, checker)
+    assert int(np.asarray(scene.materials.spec_tex).max()) >= 0
+
+    # Evaluate toward the mirror direction (maximal phong response).
+    wd = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (n, 1)), jnp.float32)
+    f, _ = bsdf_eval(scene, static, hr, d, wd)
+    f = np.asarray(f)[:, :3].mean(-1)
+
+    from wurblpt_tpu.render.texture import sample_texture
+    ks_at = np.asarray(sample_texture(
+        scene.textures, scene.materials.spec_tex[hr.mat], hr.uv))[:, 0]
+    black = ks_at < 0.5
+    assert black.any() and (~black).any()
+    diffuse_only = 0.3 / np.pi  # kd * cos/pi with cos=1
+    assert np.allclose(f[black], diffuse_only, rtol=1e-3), \
+        "black map_Ks squares must shade as pure diffuse"
+    assert (f[~black] > diffuse_only * 5).all(), \
+        "white map_Ks squares must add the specular lobe"
+
+
+def test_modphong_textured_sample_pdf_consistent():
+    """Sample <-> pdf consistency must hold PER-LANE with a textured specular
+    (the round-3 flatten-time constant lobe probability broke this whenever
+    kd/ks were textured)."""
+    from wurblpt_tpu.render.bsdf import ScatterKind, bsdf_eval, bsdf_sample
+    from wurblpt_tpu.scene.builder import CheckerTexture
+
+    n = 1 << 14
+    checker = CheckerTexture(color1=(0.05, 0.05, 0.05), color2=(0.9, 0.9, 0.9),
+                             squares=(4, 4))
+    scene, static, hr, d = _ks_checker_hits(n, checker)
+    rng = np.random.default_rng(7)
+    u4 = jnp.asarray(rng.random((n, 4)), jnp.float32)
+    u_lobe = jnp.asarray(rng.random(n), jnp.float32)
+    u_chan = jnp.asarray(rng.random(n), jnp.float32)
+    sr = bsdf_sample(scene, static, hr, d, jnp.ones((n, 4)), u4, u_lobe, u_chan)
+    is_rand = np.asarray(sr.kind) == ScatterKind.RANDOM
+    assert is_rand.mean() > 0.9
+    _, pdf_eval = bsdf_eval(scene, static, hr, d, sr.direction)
+    ps = np.asarray(sr.pdf)[is_rand]
+    pe = np.asarray(pdf_eval)[is_rand]
+    rel = np.abs(ps - pe) / np.maximum(ps, 1e-6)
+    assert (rel < 5e-3).mean() >= 0.97, f"only {(rel < 5e-3).mean():.4f} consistent"
+
+
+def test_modphong_map_ks_obj_roundtrip(tmp_path):
+    """OBJ/MTL round trip preserves map_Ks: export a ModPhong with a specular
+    image texture, re-import (io/obj heuristics -> ModPhong), and check the
+    flattened scene carries a live spec_tex that modulates shading."""
+    from wurblpt_tpu.io.obj import export_scene_to_obj, import_into_scene
+    from wurblpt_tpu.render.bsdf import bsdf_eval
+    from wurblpt_tpu.render.intersect import scene_closest_hit
+
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, 4:] = 1.0                       # left half black, right half white
+    sc = Scene()
+    sc.take_mesh_instance(MeshInstance(
+        mesh=generate_quad(2.0, 2.0),
+        material=ModPhong(diffuse=(0.3, 0.3, 0.3),
+                          specular=ImageTexture(image=img, srgb=False),
+                          shininess=25.0)))
+    path = str(tmp_path / "ks.obj")
+    export_scene_to_obj(sc, path)
+    sc2 = Scene()
+    import_into_scene(sc2, path)
+    scene = sc2.build()
+    static = SceneStatic.from_scene(scene)
+    assert int(np.asarray(scene.materials.spec_tex).max()) >= 0, \
+        "map_Ks lost in OBJ round trip"
+
+    n = 512
+    rng = np.random.default_rng(3)
+    xy = rng.uniform(-0.9, 0.9, (n, 2)).astype(np.float32)
+    o = jnp.asarray(np.concatenate([xy, np.full((n, 1), 1.5, np.float32)], 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+    hr = scene_closest_hit(scene, o, d, jnp.full((n,), 1e-4),
+                           jnp.full((n,), 1e9))
+    wd = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (n, 1)), jnp.float32)
+    f, _ = bsdf_eval(scene, static, hr, d, wd)
+    f = np.asarray(f)[:, :3].mean(-1)
+    u = np.asarray(hr.uv)[:, 0]
+    lo, hi = f[u < 0.45], f[u > 0.55]
+    assert lo.size and hi.size
+    assert hi.mean() > lo.mean() * 3, \
+        "imported map_Ks must modulate the specular lobe across uv"

@@ -70,6 +70,7 @@ class SceneStatic(NamedTuple):
     has_normal_maps: bool = False
     lights_animated: bool = False
     has_opacity_tex: bool = False
+    has_spec_tex: bool = False
 
     @staticmethod
     def from_scene(scene: SceneArrays) -> "SceneStatic":
@@ -97,6 +98,10 @@ class SceneStatic(NamedTuple):
             has_opacity_tex=bool(
                 scene.materials.opacity_tex is not None
                 and np.any(np.asarray(scene.materials.opacity_tex) >= 0)
+            ),
+            has_spec_tex=bool(
+                scene.materials.spec_tex is not None
+                and np.any(np.asarray(scene.materials.spec_tex) >= 0)
             ),
         )
 
@@ -214,6 +219,21 @@ def _ggx_eval_local(wo, wd, f0, ax, ay):
 # ---------------------------------------------------------------------------
 # ModPhong helpers
 # ---------------------------------------------------------------------------
+
+def _modphong_ks(scene: SceneArrays, static: "SceneStatic", hr: HitRecord):
+    """Shade-time specular color: map_Ks texture when present, else the
+    constant p1 slot (material_modphong.hpp:129-146). Compiled out (constant
+    path only) when no scene material carries a specular texture."""
+    mt = scene.materials
+    ks = mt.p1[hr.mat]
+    if static.has_spec_tex:
+        from .texture import sample_texture
+
+        stex = mt.spec_tex[hr.mat]
+        ks_t = sample_texture(scene.textures, jnp.maximum(stex, 0), hr.uv)
+        ks = jnp.where((stex >= 0)[..., None], ks_t, ks)
+    return ks
+
 
 def _modphong_eval(wo, wd, n, kd, ks, shininess):
     """f*cos and mixture pdf for the energy-normalized modified Phong
@@ -409,7 +429,7 @@ def bsdf_sample(
 
     # ---- ModPhong ----
     if MaterialType.MODPHONG in static.mat_types:
-        ks = mt.p1[hr.mat]
+        ks = _modphong_ks(scene, static, hr)
         shininess = mt.p0[hr.mat, 0]
         opacity = mt.p0[hr.mat, 1]
         if static.has_opacity_tex:
@@ -419,7 +439,14 @@ def bsdf_sample(
             otex = mt.opacity_tex[hr.mat]
             opa_t = sample_texture(scene.textures, jnp.maximum(otex, 0), hr.uv)[..., 0]
             opacity = jnp.where(otex >= 0, opa_t, opacity)
-        ps = mt.p0[hr.mat, 2]
+        # Lobe-pick probability from the SAME shade-time kd/ks the mixture
+        # pdf uses (material_modphong.hpp:213-220) — a flatten-time constant
+        # here would make the sampling density disagree with the pdf whenever
+        # diffuse or specular is textured (biased estimator).
+        kd_max = jax.lax.stop_gradient(jnp.max(albedo[..., :3], axis=-1))
+        ks_max = jax.lax.stop_gradient(jnp.max(ks[..., :3], axis=-1))
+        ps = jnp.where(kd_max + ks_max > 0,
+                       ks_max / jnp.maximum(kd_max + ks_max, 1e-12), 0.0)
         # Opacity pass-through (material_modphong.hpp:241-261): with prob
         # (1-opacity) REFRACT through the surface with the material's index
         # of refraction, attenuated by the transmissive color; total internal
@@ -521,7 +548,7 @@ def bsdf_eval(scene: SceneArrays, static: SceneStatic, hr: HitRecord, ray_dir, w
         pdf = jnp.where(sel, p_g, pdf)
 
     if MaterialType.MODPHONG in static.mat_types:
-        ks = mt.p1[hr.mat]
+        ks = _modphong_ks(scene, static, hr)
         shininess = mt.p0[hr.mat, 0]
         f_m, p_m = _modphong_eval(wo, wd, n, albedo, ks, shininess)
         # Full lobe despite opacity, matching the reference's

@@ -162,6 +162,7 @@ def _flatten_materials(materials, collector: _TextureCollector, rgl_names) -> Ma
     normal_tex = np.full((m,), -1, _i32)
     rgl_id = np.full((m,), -1, _i32)
     opacity_tex = np.full((m,), -1, _i32)
+    spec_tex = np.full((m,), -1, _i32)
 
     for i, mat in enumerate(materials):
         if mat.two_sided:
@@ -194,8 +195,10 @@ def _flatten_materials(materials, collector: _TextureCollector, rgl_names) -> Ma
         elif isinstance(mat, B.ModPhong):
             typ[i] = MaterialType.MODPHONG
             albedo[i], albedo_tex[i] = _tex_or_color(mat.diffuse, collector)
-            spec, spec_tex = _tex_or_color(mat.specular, collector)
-            p1[i] = spec
+            # map_Ks: textured specular sampled at shade time
+            # (material_modphong.hpp:129-146; import.hpp:364-367).
+            p1[i], spec_tex[i] = _tex_or_color(mat.specular, collector)
+            spec = p1[i]
             p0[i, 0] = mat.shininess
             if isinstance(mat.opacity, B.Texture):
                 # map_d / diffuse-alpha opacity (material_modphong.hpp:136-146);
@@ -207,7 +210,10 @@ def _flatten_materials(materials, collector: _TextureCollector, rgl_names) -> Ma
             p0[i, 3] = max(float(getattr(mat, "ior", 1.0)), 1.0)
             p2[i] = B._vec4(getattr(mat, "transmissive", (0.0, 0.0, 0.0)))
             # Lobe-selection probability from relative energies
-            # (material_modphong.hpp:213-220): ps = max(spec) / (max(diff)+max(spec)).
+            # (material_modphong.hpp:213-220): ps = max(spec)/(max(diff)+max(spec)).
+            # Stored for reference/debugging only — the shader recomputes ps
+            # from the SHADE-TIME textured kd/ks (bsdf._modphong_eval) so the
+            # sampling density and the MIS pdf always agree.
             kd = float(np.max(albedo[i][:3]))
             ks = float(np.max(spec[:3]))
             p0[i, 2] = ks / (kd + ks) if (kd + ks) > 0 else 0.0
@@ -246,6 +252,7 @@ def _flatten_materials(materials, collector: _TextureCollector, rgl_names) -> Ma
         rgl_id=jnp.asarray(rgl_id),
         p2=jnp.asarray(p2),
         opacity_tex=jnp.asarray(opacity_tex),
+        spec_tex=jnp.asarray(spec_tex),
     )
 
 

@@ -130,6 +130,14 @@ class MaterialTable(NamedTuple):
     opacity_tex: jnp.ndarray = None  # [M] int32 opacity texture, .r channel
     #                                  (material_modphong.hpp:136-146 map_d /
     #                                  diffuse-alpha; -1 = constant p0.y)
+    spec_tex: jnp.ndarray = None     # [M] int32 specular texture (map_Ks,
+    #                                  material_modphong.hpp:129-146 /
+    #                                  import.hpp:364-367); -1 = constant p1.
+    #                                  Sampled at shade time; the ModPhong
+    #                                  lobe-pick probability is then computed
+    #                                  from the SAME shade-time kd/ks as the
+    #                                  mixture pdf (material_modphong.hpp:
+    #                                  213-239) so sample and pdf agree.
 
     @property
     def count(self):
