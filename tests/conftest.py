@@ -38,6 +38,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # the Python path (fastpath data = None) sidesteps it; dispatch overhead is
 # ~100 us/call, noise next to our >10 ms programs. The TPU twin of this fault
 # is why bench.py isolates configs in subprocesses.
-import jax._src.pjit as _pjit  # noqa: E402
+#
+# GATED ON THE EXACT JAX VERSION the bug was isolated on (advisor round-3
+# finding): on any other jax, fail loudly instead of silently (a) patching a
+# private symbol that may have moved, or (b) masking an upstream fix — the
+# person upgrading jax should re-test the fastpath (tools/repro_fastpath.py
+# reproduces the fault standalone) and either extend the gate or delete the
+# patch.
+if jax.__version__ == "0.9.0":
+    import jax._src.pjit as _pjit  # noqa: E402
 
-_pjit._get_fastpath_data = lambda *a, **k: None
+    _pjit._get_fastpath_data = lambda *a, **k: None
+else:
+    raise RuntimeError(
+        f"jax {jax.__version__} != 0.9.0: the dispatch-fastpath workaround in "
+        "tests/conftest.py was isolated on 0.9.0 — re-test whether the "
+        "PjitFunctionCache fault still reproduces (see comment above), then "
+        "update this gate.")

@@ -83,36 +83,43 @@ def test_sharded_nondivisible_height_pads():
 
 
 def test_training_step_grads_match_unsharded():
-    """The sharded training step's implicit gradient psum must reproduce the
-    unsharded gradients (scene-parameter all-reduce, SURVEY.md section 2.2)."""
+    """The sharded training step (the production inverse.make_train_step unit
+    over a mesh) must reproduce the unsharded step: same loss, same fitted
+    params — the implicit gradient psum across ray shards is exact
+    (scene-parameter all-reduce, SURVEY.md section 2.2)."""
+    import optax
+
+    from wurblpt_tpu.inverse import make_train_step
+
     w = h = 16
     arrays, static, cam = _setup(w, h)
     sensor = SensorRGB()
     diff_params = RenderParams(max_path_components=4, differentiable=True)
-
     target = jnp.zeros((h, w, 3), jnp.float32)
 
-    def loss_fn(scene_in):
-        img = render_frame(scene_in, static, cam, CameraConfig(), sensor,
-                           w, h, 2, params=diff_params)
-        return jnp.mean((img - target) ** 2)
+    params0 = {"albedo": arrays.materials.albedo,
+               "emissive": arrays.materials.emissive}
 
-    g_ref = jax.grad(loss_fn, allow_int=True)(arrays)
+    def apply_params(s, p):
+        return s._replace(materials=s.materials._replace(
+            albedo=p["albedo"], emissive=p["emissive"]))
+
+    step_u, opt_u = make_train_step(
+        arrays, apply_params, target, cam=cam, sensor=sensor,
+        width=w, height=h, samples_sqrt=2, render_params=diff_params,
+        optimizer=optax.sgd(0.1), static=static)
+    p_u, _, loss_u, _ = step_u(params0, opt_u.init(params0), jnp.int32(0))
 
     mesh8 = make_ray_mesh(jax.devices()[:8])
-    loss, new_scene, g_cam = training_step(
+    loss_s, p_s, _ = training_step(
         arrays, static, cam, CameraConfig(), sensor, w, h, 2, target,
-        mesh=mesh8, params=diff_params, lr=0.1,
+        mesh=mesh8, params=diff_params, optimizer=optax.sgd(0.1),
     )
-    # training_step applies SGD: new = old - lr * grad, so recover the grad.
-    g_albedo_sharded = (arrays.materials.albedo - new_scene.materials.albedo) / 0.1
-    np.testing.assert_allclose(
-        np.asarray(g_albedo_sharded),
-        np.asarray(g_ref.materials.albedo),
-        rtol=2e-4, atol=1e-7,
-    )
-    assert np.isfinite(float(loss))
-    assert np.isfinite(np.asarray(g_cam.transformation.translation)).all()
+    np.testing.assert_allclose(float(loss_s), float(loss_u), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_s["albedo"]),
+                               np.asarray(p_u["albedo"]),
+                               rtol=2e-4, atol=1e-7)
+    assert np.isfinite(float(loss_s))
 
 
 def test_local_shard_rows_subset_meshes():

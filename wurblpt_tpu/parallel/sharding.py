@@ -173,50 +173,50 @@ def training_step(
     height: int,
     samples_sqrt: int,
     target,
+    params0=None,
+    apply_params=None,
+    apply_cam=None,
+    optimizer=None,
     mesh: Optional[Mesh] = None,
     params: RenderParams = RenderParams(),
-    lr: float = 0.1,
+    sample_start=0,
 ):
-    """One differentiable render step: L2 loss against `target`, gradients to
-    every scene/camera parameter, SGD update on material tables.
+    """One step of THE production inverse-rendering optimizer on a mesh.
 
-    This is the flagship "training step" for inverse rendering: the analog of
-    the reference's (absent) autodiff, and the unit the multi-chip dry-run
-    compiles over an N-device mesh. XLA all-reduces the scene-parameter
-    gradients across the ray shards automatically (the psum of SURVEY.md
-    section 2.2 "result reduction").
+    This is `inverse.make_train_step` — the same optax-driven unit
+    `inverse.fit` iterates single-device — compiled with the framebuffer (and
+    with it the whole differentiable wavefront) row-sharded over the mesh's
+    ray axis; scene/params replicated; GSPMD all-reduces the parameter
+    gradients across ray shards (the psum of SURVEY.md section 2.2 "result
+    reduction"). The multi-chip dryrun compiles exactly this step.
+
+    params0/apply_params default to fitting the material color tables
+    (albedo + emissive), the most common recovery target; pass any pytree +
+    patcher for arbitrary scene/texture/camera fitting, exactly as with
+    `inverse.fit`.
+
+    Returns (loss, fitted_params, opt_state).
     """
+    from ..inverse import make_train_step
+
     if mesh is None:
         mesh = make_ray_mesh()
-    axis = mesh.axis_names[0]
-    rep = NamedSharding(mesh, P())
-    shard_img = NamedSharding(mesh, P(axis, None, None))
+    if params0 is None:
+        params0 = {"albedo": scene.materials.albedo,
+                   "emissive": scene.materials.emissive}
 
-    def loss_fn(scene_in, cam_in, target_in):
-        img = render_frame(
-            scene_in, static, cam_in, cam_cfg, sensor, width, height,
-            samples_sqrt, 0.0, 0.0, params, 1,
-        )
-        img = jax.lax.with_sharding_constraint(img, shard_img)
-        return jnp.mean((img - target_in) ** 2)
+        def apply_params(s, p):  # noqa: F811 - default patcher pairs params0
+            return s._replace(materials=s.materials._replace(
+                albedo=p["albedo"], emissive=p["emissive"]))
+    assert apply_params is not None, "params0 without apply_params"
 
-    def step(scene_in, cam_in, target_in):
-        # allow_int: SceneArrays carries int32 id/type columns; their grads are
-        # float0 and ignored.
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1), allow_int=True)(
-            scene_in, cam_in, target_in
-        )
-        g_scene, g_cam = grads
-        # SGD on the differentiable material colors (demonstration update).
-        new_mats = scene_in.materials._replace(
-            albedo=scene_in.materials.albedo - lr * g_scene.materials.albedo,
-            emissive=scene_in.materials.emissive - lr * g_scene.materials.emissive,
-        )
-        return loss, scene_in._replace(materials=new_mats), g_cam
-
-    fn = jax.jit(
-        step,
-        in_shardings=(rep, rep, shard_img),
-        out_shardings=(rep, rep, rep),
+    step_fn, optimizer = make_train_step(
+        scene, apply_params, target,
+        cam=cam, cam_cfg=cam_cfg, sensor=sensor, width=width, height=height,
+        samples_sqrt=samples_sqrt, render_params=params, optimizer=optimizer,
+        apply_cam=apply_cam, mesh=mesh, static=static,
     )
-    return fn(scene, cam, target)
+    opt_state = optimizer.init(params0)
+    new_params, opt_state, loss, _img = step_fn(
+        params0, opt_state, jnp.int32(sample_start))
+    return loss, new_params, opt_state

@@ -71,6 +71,12 @@ class SceneStatic(NamedTuple):
     lights_animated: bool = False
     has_opacity_tex: bool = False
     has_spec_tex: bool = False
+    # O(1) per-light MIS (SURVEY.md section 7 "NEE cost model"): swap the
+    # O(L) mixture pdf for pick_prob x per-light pdf at both the NEE and the
+    # emitted-MIS events. On by default for static-light scenes with many
+    # lights; small scenes keep the mixture (matches the reference's
+    # estimator exactly, wurblpt.hpp:181-195).
+    per_light_mis: bool = False
 
     @staticmethod
     def from_scene(scene: SceneArrays) -> "SceneStatic":
@@ -103,7 +109,14 @@ class SceneStatic(NamedTuple):
                 scene.materials.spec_tex is not None
                 and np.any(np.asarray(scene.materials.spec_tex) >= 0)
             ),
+            per_light_mis=bool(
+                lp.size >= PER_LIGHT_MIS_MIN and not la
+                and scene.prim_light_pick is not None
+            ),
         )
+
+
+PER_LIGHT_MIS_MIN = 8  # lights; below this the O(L) mixture broadcast is cheap
 
 
 def apply_normal_map(scene: SceneArrays, static: SceneStatic, hr: HitRecord) -> HitRecord:

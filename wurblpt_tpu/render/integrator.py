@@ -45,7 +45,12 @@ from .bsdf import (
 from .camera import CameraConfig, CameraParams, camera_rays
 from .envmap import env_has_importance, env_pdf, env_radiance, env_sample
 from .intersect import BIG, assemble_hit, scene_any_hit, scene_raw_hit
-from .lights import lights_pdf_multi, lights_sample
+from .lights import (
+    light_pick_prob_of,
+    lights_pdf_at_hit,
+    lights_pdf_multi,
+    lights_sample,
+)
 from .media import apply_media
 from .sensor import SensorEvent
 from .texture import material_emissive
@@ -67,6 +72,15 @@ class RenderParams:
     min_hit_distance: float = 1e-4
     randomize_ray_over_pixel: bool = True
     differentiable: bool = False
+    # NEE any-hit visibility band: the shadow ray is shortened to
+    # ldist * (1 - shadow_identity_eps) so the sampled light itself never
+    # counts as its own blocker (the reference instead compares blocker
+    # identity, wurblpt.hpp:203-217). The band is RELATIVE, so its absolute
+    # width grows with light distance (~3 mm per 10 units at the default);
+    # an occluder pressed flush against a light plane closer than that band
+    # can leak. Scenes with such contacts should lower this (the cost is
+    # that f32 roundoff in ldist must stay below it: ~1e-6 * ldist).
+    shadow_identity_eps: float = 3e-4
 
 
 class _LoopState(NamedTuple):
@@ -231,6 +245,13 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
     env_is = static.env_kind != 0 and static.env_importance
     has_env = static.env_kind != 0
     has_lights = static.n_lights > 0
+    # O(1) per-light MIS for many-light scenes: pdfs are pick_prob x the
+    # SINGLE relevant light's solid-angle pdf (the picked one at the NEE
+    # event, the one actually hit at the emitted event) instead of the O(L)
+    # mixture broadcast — still unbiased (each light's NEE strategy pairs
+    # with the BSDF strategy; weights sum to 1 per pair). Small scenes keep
+    # the reference's mixture semantics exactly (wurblpt.hpp:181-195).
+    per_light = has_lights and getattr(static, "per_light_mis", False)
 
     # Animated emitters: per-ray forward frames of each hot spot's animation
     # (ray time is fixed along a path, so they are loop-invariant like the
@@ -311,12 +332,21 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
         opt_len = jnp.where(hit[..., None], st.opt_len + t[..., None] * st.ior, st.opt_len)
 
         # ---- 4. emitted with MIS weight (wurblpt.hpp:160-163, 181-185) ----
-        # The light-mixture pdf of THIS ray was already evaluated last bounce
-        # (st.prev_light_pdf carries lights_pdf_multi of the bsdf sample from
-        # its origin) — the reference re-evaluates the O(L) sum here
-        # (wurblpt.hpp:182-184); we pay it once per bounce instead of twice.
+        # Mixture mode: the light-mixture pdf of THIS ray was already
+        # evaluated last bounce (st.prev_light_pdf carries lights_pdf_multi
+        # of the bsdf sample from its origin) — the reference re-evaluates
+        # the O(L) sum here (wurblpt.hpp:182-184); we pay it once per bounce.
+        # Per-light mode: the prim actually hit identifies the ONE light
+        # whose NEE strategy could have produced this ray; its pick_prob x
+        # solid-angle pdf comes O(1) from the hit itself (t, cos, 1/area).
         e = emitted(scene, static, hr, -st.d)
-        if has_lights:
+        if per_light:
+            lp_hit = lights_pdf_at_hit(
+                scene, st.o, st.d, t, jnp.where(hit, prim, -1), hr.geom_normal)
+            w_emit = jnp.where(
+                st.prev_random, power_heuristic(st.prev_pdf, lp_hit), 1.0
+            )
+        elif has_lights:
             w_emit = jnp.where(
                 st.prev_random, power_heuristic(st.prev_pdf, st.prev_light_pdf), 1.0
             )
@@ -346,17 +376,26 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
         # ---- 6. NEE toward hot spots (wurblpt.hpp:179-220) ----------------
         if has_lights:
             u3 = uniform4(pixel_id, sample_id, k, Salt.NEE_SAMPLE)[..., :3]
-            ldir, lprim, ldist, lpick = lights_sample(
+            ldir, lprim, ldist, lpick, pdf_sa = lights_sample(
                 scene, hr.position, u3, frames=lframes
             )
-            # ONE light-mixture evaluation for BOTH directions needing it at
-            # this bounce: the NEE direction (this branch's pdf) and the bsdf
-            # sample (next bounce's emitted-MIS weight, carried in state).
-            pdf_pair = lights_pdf_multi(
-                scene, hr.position,
-                jnp.stack([ldir, sr.direction], axis=1), frames=lframes
-            )
-            pdf_light, light_pdf_next = pdf_pair[:, 0], pdf_pair[:, 1]
+            if per_light:
+                # O(1): the NEE strategy is "pick light i, sample its solid
+                # angle" — its density is pick_prob(i) x pdf_i(dir), no O(L)
+                # broadcast. The emitted-MIS side is handled at the NEXT
+                # bounce's hit (lights_pdf_at_hit above).
+                pdf_light = light_pick_prob_of(scene, lpick) * pdf_sa
+                light_pdf_next = jnp.zeros((n,))
+            else:
+                # ONE light-mixture evaluation for BOTH directions needing it
+                # at this bounce: the NEE direction (this branch's pdf) and
+                # the bsdf sample (next bounce's emitted-MIS weight, carried
+                # in state).
+                pdf_pair = lights_pdf_multi(
+                    scene, hr.position,
+                    jnp.stack([ldir, sr.direction], axis=1), frames=lframes
+                )
+                pdf_light, light_pdf_next = pdf_pair[:, 0], pdf_pair[:, 1]
             f_l, pdf_b = bsdf_eval(scene, static, hr, st.d, ldir)
             if static.has_media:
                 # Media block shadow rays stochastically (salt_ctx=1): need the
@@ -371,8 +410,9 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
                 # ANY-hit shortened at the sampled light's expected distance:
                 # "no blocker strictly before the light" is exactly the
                 # reference's directHR.hitable == hotSpots[i] (wurblpt.hpp:
-                # 203-217) — the closest hit itself is never needed.
-                t_vis = jnp.maximum(ldist * (1.0 - 3e-4),
+                # 203-217) — the closest hit itself is never needed. Band
+                # semantics documented at RenderParams.shadow_identity_eps.
+                t_vis = jnp.maximum(ldist * (1.0 - params.shadow_identity_eps),
                                     params.min_hit_distance)
                 occluded = scene_any_hit(
                     scene, hr.position, ldir,

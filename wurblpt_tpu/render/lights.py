@@ -192,17 +192,67 @@ def lights_pdf_sum(
     return lights_pdf_multi(scene, origin, direction[:, None, :], frames=frames)[:, 0]
 
 
+def light_pick_prob_of(scene: SceneArrays, pick):
+    """Pick probability of light index `pick` [N] — O(1) per lane."""
+    w = light_pick_probs(scene)
+    L = scene.light_prims.shape[0]
+    if w is None:
+        return jnp.full(pick.shape, 1.0 / max(L, 1))
+    return w[pick]
+
+
+def lights_pdf_at_hit(scene: SceneArrays, o, d, t, prim, geom_normal):
+    """O(1) per-light NEE density of the ray (o, d) given it HIT prim at
+    distance t: pick_prob(prim's light) x solid-angle pdf of that light.
+
+    This is the emitted-MIS weight's denominator on the per-light path
+    (SURVEY.md section 7 "NEE cost model"): the reference — and the round-3
+    mixture path — evaluate an O(L) pdf sum per bounce (wurblpt.hpp:181-195);
+    here everything needed is already at hand from the actual hit: for a
+    triangle light pdf = t^2 / (cos * area) with cos from the hit's geometric
+    normal and 1/area prebuilt per prim (scene.prim_inv_area); for a sphere
+    light the cone solid angle is recomputed from center/radius. Returns 0
+    for non-light prims. Requires static lights (the flatten-time areas are
+    object == world space); animated-light scenes use the mixture path.
+    """
+    n_tri = scene.n_tris
+    P = scene.prim_light_pick.shape[0]
+    pc = jnp.clip(jnp.maximum(prim, 0), 0, P - 1)
+    pp = jnp.where(prim >= 0, scene.prim_light_pick[pc], 0.0)
+    cos = jnp.abs(jnp.sum(d * geom_normal, axis=-1))
+    pdf_tri = t * t * scene.prim_inv_area[pc] / jnp.maximum(cos, 1e-12)
+    if scene.n_spheres > 0:
+        si = jnp.clip(pc - n_tri, 0, scene.n_spheres - 1)
+        S = scene.spheres
+        oc = S.center[si] - o
+        dist2 = jnp.sum(oc * oc, axis=-1)
+        r2 = S.radius[si] * S.radius[si]
+        sin2 = jnp.clip(r2 / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
+        solid = _TWO_PI * (1.0 - safe_sqrt(1.0 - sin2))
+        pdf_sph = jnp.where((dist2 > r2) & (solid > 1e-12),
+                            1.0 / jnp.maximum(solid, 1e-12), 0.0)
+        pdf = jnp.where(pc < n_tri, pdf_tri, pdf_sph)
+    else:
+        pdf = pdf_tri
+    return pp * pdf
+
+
 def lights_sample(
     scene: SceneArrays, origin, u3, frames=None
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pick a hot spot and sample a direction toward it (wurblpt.hpp:187-190).
 
-    Returns (direction [N,3], picked_prim [N], t_expected [N], pick [N]):
-    `t_expected` is the EXACT hit distance along `direction` to the picked
-    light's surface (triangles: distance to the sampled point; spheres: the
-    near root of the cone-sampled ray's quadratic) — an occlusion test may
-    terminate at t < t_expected instead of finding the closest hit. The
-    mixture pdf must be computed via lights_pdf_multi/lights_pdf_sum.
+    Returns (direction [N,3], picked_prim [N], t_expected [N], pick [N],
+    pdf_sa [N]): `t_expected` is the EXACT hit distance along `direction` to
+    the picked light's surface (triangles: distance to the sampled point;
+    spheres: the near root of the cone-sampled ray's quadratic) — an
+    occlusion test may terminate at t < t_expected instead of finding the
+    closest hit. `pdf_sa` is the solid-angle density of `direction` under
+    the PICKED light's sampling strategy (triangle: t^2/(cos*area),
+    hitable_triangle.hpp:405-423; sphere: 1/cone-solid-angle,
+    hitable_sphere.hpp:155-219) — the O(1) per-light MIS path multiplies it
+    by the pick probability; the mixture path instead calls
+    lights_pdf_multi/lights_pdf_sum.
 
     Picking is uniform by default; when the builder attached power weights
     (`light_weights` + alias table) the pick is O(1) power-proportional.
@@ -244,9 +294,15 @@ def lights_sample(
         d_tri = q - origin
         dist_tri = jnp.linalg.norm(d_tri, axis=-1)
         d_tri = d_tri / jnp.maximum(dist_tri, 1e-12)[..., None]
+        fn = jnp.cross(e1, e2)
+        fn_len = jnp.linalg.norm(fn, axis=-1)
+        area_tri = 0.5 * fn_len
+        cos_tri = jnp.abs(jnp.sum(d_tri * fn, axis=-1)) / jnp.maximum(fn_len, 1e-20)
+        pdf_tri = dist_tri * dist_tri / jnp.maximum(cos_tri * area_tri, 1e-12)
     else:
         d_tri = jnp.zeros_like(origin)
         dist_tri = jnp.zeros(origin.shape[:-1])
+        pdf_tri = jnp.zeros(origin.shape[:-1])
 
     # Sphere: cone sample; expected hit distance = near quadratic root.
     if scene.n_spheres > 0:
@@ -268,10 +324,15 @@ def lights_sample(
         cq = dist2 - radius * radius
         disc = jnp.maximum(half_b * half_b - cq, 0.0)
         dist_sph = -half_b - jnp.sqrt(disc)
+        solid = _TWO_PI * (1.0 - cos_max)
+        pdf_sph = jnp.where((dist2 > radius * radius) & (solid > 1e-12),
+                            1.0 / jnp.maximum(solid, 1e-12), 0.0)
     else:
         d_sph = jnp.zeros_like(origin)
         dist_sph = jnp.zeros(origin.shape[:-1])
+        pdf_sph = jnp.zeros(origin.shape[:-1])
 
     direction = jnp.where(is_tri[..., None], d_tri, d_sph)
     dist = jnp.where(is_tri, dist_tri, dist_sph)
-    return direction, lp, dist, pick
+    pdf_sa = jnp.where(is_tri, pdf_tri, pdf_sph)
+    return direction, lp, dist, pick, pdf_sa

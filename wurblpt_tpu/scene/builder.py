@@ -363,14 +363,17 @@ class Scene:
         return cache[key]
 
     def build(self, max_image_dim: int = 2048, use_bvh=None,
-              t0: float = 0.0, t1: float = 0.0) -> SceneArrays:
+              t0: float = 0.0, t1: float = 0.0,
+              light_sampling: str = "power") -> SceneArrays:
         """Flatten to SceneArrays. `use_bvh`: None = auto (prim-count
         threshold), True/False = force; the BVH is the threaded SAH tree of
         :mod:`wurblpt_tpu.accel` (reference ``Scene::updateBVH``,
         scene.hpp:151-169). [t0, t1] is the render time interval: animated
         prims get conservative swept AABBs over it, like the reference's
-        ``updateBVH(t0, t1)``."""
+        ``updateBVH(t0, t1)``. `light_sampling`: "power" (default) attaches
+        the power-proportional pick tables; "uniform" restores the
+        reference's uniform hot-spot pick (wurblpt.hpp:187)."""
         from .flatten import flatten_scene
 
         return flatten_scene(self, max_image_dim=max_image_dim, use_bvh=use_bvh,
-                             t0=t0, t1=t1)
+                             t0=t0, t1=t1, light_sampling=light_sampling)

@@ -442,7 +442,8 @@ def _light_power_weights(light_ids, tri_e1, tri_e2, tri_mat, sph_r, sph_mat,
 
 
 def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None,
-                  t0: float = 0.0, t1: float = 0.0) -> SceneArrays:
+                  t0: float = 0.0, t1: float = 0.0,
+                  light_sampling: str = "power") -> SceneArrays:
     collector = _TextureCollector()
 
     rgl_names = {name: i for i, name in enumerate(scene._rgl_tables)}
@@ -654,21 +655,48 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None,
 
     envmap = build_envmap_arrays(scene._envmap)
 
-    # --- light pick table (power-proportional, uniform when powers match) ----
+    # --- light pick table (power-proportional by default; "uniform" restores
+    # the reference's uniform pick, wurblpt.hpp:187) ----
+    if light_sampling not in ("power", "uniform"):
+        raise ValueError(f"light_sampling must be 'power' or 'uniform', got {light_sampling!r}")
     light_ids = np.asarray(sorted(set(light_prims)), _i32)
     lw = lap = lai = None
+    plp = pia = None
     if light_ids.size > 0:
-        powers = _light_power_weights(
-            light_ids,
-            np.concatenate(e1s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
-            np.concatenate(e2s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
-            np.concatenate(mats) if tri_count else np.zeros((0,), _i32),
-            np.asarray(sr, _f32), np.asarray(sm, _i32), tri_count,
-            np.asarray(materials.typ), np.asarray(materials.emissive),
-            np.asarray(materials.p0),
-        )
-        prob, alias, w = build_alias_table(powers)
-        lw, lap, lai = jnp.asarray(w), jnp.asarray(prob), jnp.asarray(alias)
+        if light_sampling == "power":
+            powers = _light_power_weights(
+                light_ids,
+                np.concatenate(e1s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
+                np.concatenate(e2s).astype(_f32) if tri_count else np.zeros((0, 3), _f32),
+                np.concatenate(mats) if tri_count else np.zeros((0,), _i32),
+                np.asarray(sr, _f32), np.asarray(sm, _i32), tri_count,
+                np.asarray(materials.typ), np.asarray(materials.emissive),
+                np.asarray(materials.p0),
+            )
+            prob, alias, w = build_alias_table(powers)
+            lw, lap, lai = jnp.asarray(w), jnp.asarray(prob), jnp.asarray(alias)
+            pick_np = np.asarray(w, _f32)
+        else:
+            pick_np = np.full((light_ids.size,), 1.0 / light_ids.size, _f32)
+        # Per-PRIM pick prob + 1/area for the O(1) per-light MIS path
+        # (render/lights.lights_pdf_at_hit). Only valid for static lights:
+        # areas are flatten-time world space.
+        anim_all = np.concatenate([
+            np.concatenate(anims_idx) if anims_idx else np.zeros((0,), _i32),
+            np.asarray(sa, _i32).reshape(-1),
+        ])
+        if not np.any(anim_all[light_ids] != 0):
+            plp_np = np.zeros((n_prims,), _f32)
+            pia_np = np.zeros((n_prims,), _f32)
+            plp_np[light_ids] = pick_np
+            if tri_count:
+                e1_all = np.concatenate(e1s).astype(_f32)
+                e2_all = np.concatenate(e2s).astype(_f32)
+                tri_lights = light_ids[light_ids < tri_count]
+                areas = 0.5 * np.linalg.norm(
+                    np.cross(e1_all[tri_lights], e2_all[tri_lights]), axis=-1)
+                pia_np[tri_lights] = 1.0 / np.maximum(areas, 1e-20)
+            plp, pia = jnp.asarray(plp_np), jnp.asarray(pia_np)
 
     return SceneArrays(
         tris=tris,
@@ -684,6 +712,8 @@ def flatten_scene(scene, max_image_dim: int = 2048, use_bvh=None,
         light_weights=lw,
         light_alias_prob=lap,
         light_alias_idx=lai,
+        prim_light_pick=plp,
+        prim_inv_area=pia,
     )
 
 

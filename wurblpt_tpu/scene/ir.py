@@ -307,13 +307,23 @@ class SceneArrays(NamedTuple):
     rgl: "RGLTables" = None
     # Power-proportional light picking (many-emitter scenes; SURVEY.md section 7
     # "NEE cost model"). None = uniform pick, exactly the reference's
-    # wurblpt.hpp:187. When set: `light_weights` are the normalized pick
-    # probabilities (the NEE mixture pdf becomes sum w_i * pdf_i), and the
-    # alias table gives O(1) sampling. With equal powers the alias pick is
-    # bit-identical to the uniform pick.
+    # wurblpt.hpp:187 — produced by flatten_scene(light_sampling="uniform");
+    # the default "power" attaches these tables for every lit scene. When
+    # set: `light_weights` are the normalized pick probabilities (the NEE
+    # mixture pdf becomes sum w_i * pdf_i), and the alias table gives O(1)
+    # sampling. With equal powers the alias pick is bit-identical to the
+    # uniform pick.
     light_weights: Optional[jnp.ndarray] = None     # [L] f32
     light_alias_prob: Optional[jnp.ndarray] = None  # [L] f32
     light_alias_idx: Optional[jnp.ndarray] = None   # [L] int32
+    # O(1) per-light NEE/MIS support (render/lights.lights_pdf_at_hit): pick
+    # probability and 1/area indexed by GLOBAL PRIM id (0 for non-lights /
+    # sphere slots). Built for static-light scenes; with these present and
+    # >= 8 lights the integrator swaps the O(L) mixture pdf for per-light
+    # MIS weights (pick_prob x per-light solid-angle pdf) — unbiased, O(1)
+    # per bounce event.
+    prim_light_pick: Optional[jnp.ndarray] = None   # [P] f32
+    prim_inv_area: Optional[jnp.ndarray] = None     # [P] f32
 
     @property
     def n_tris(self):
