@@ -51,7 +51,12 @@ class CameraConfig:
     stereo: bool = False              # top/bottom packed stereo
     distortion: int = DistortionModel.NONE
     dof: bool = False
-    undistort_iters: int = 32         # fixed-count replacement for the <=256-iter loop
+    undistort_iters: int = 8          # fixed-count replacement for the <=256-iter
+    #                                   loop; 8 fixed-point iterations already
+    #                                   reproduce the 32-iteration image bit-
+    #                                   identically on the rtiow bench config
+    #                                   (PROFILE.md section 1b); raise for
+    #                                   extreme distortion coefficients
     anim_id: int = -1                 # scene animation driving the pose per ray
     #                                   time (camera.hpp:56-111: a camera owns an
     #                                   Animation; -1 = static CameraParams pose)
