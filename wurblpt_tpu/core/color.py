@@ -9,24 +9,30 @@ and the sRGB transfer functions (``:265-285``).
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-# Rec.709 / sRGB primaries, D65 white (row-major 3x3).
-_XYZ_TO_RGB = jnp.array(
+# Rec.709 / sRGB primaries, D65 white (row-major 3x3). HOST arrays, not jnp:
+# a module-level device array (a) becomes a hoisted const_arg that the jax
+# 0.9.0 dispatch fastpath can drop (tests/conftest.py), and (b) initializes
+# the XLA backend at package-import time, which breaks the multi-host rule
+# that jax.distributed.initialize must run before any backend use
+# (tools/multiproc_smoke.py).
+_XYZ_TO_RGB = np.array(
     [
         [3.2406255, -1.5372080, -0.4986286],
         [-0.9689307, 1.8757561, 0.0415175],
         [0.0557101, -0.2040211, 1.0569959],
     ],
-    jnp.float32,
+    np.float32,
 )
-_RGB_TO_XYZ = jnp.array(
+_RGB_TO_XYZ = np.array(
     [
         [0.4124, 0.3576, 0.1805],
         [0.2126, 0.7152, 0.0722],
         [0.0193, 0.1192, 0.9505],
     ],
-    jnp.float32,
+    np.float32,
 )
 
 
