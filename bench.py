@@ -160,10 +160,15 @@ def bench_tof():
         params=params, return_stats=True))
     dt, (img, stats) = _timeit(fn, scene, cam)
     stats = np.asarray(stats)
+    img_np = np.asarray(img)
+    # Guard against a silently dark capture (round-4 found the ToF light
+    # facing out of the room; throughput alone cannot catch that).
+    assert (img_np != 0).mean() > 0.5, "ToF frame is dark"
     return {
         "frame_ms": dt * 1e3,
         "paths_per_s": width * height * ssqrt * ssqrt / dt,
         "mrays_per_s": stats[1] / dt / 1e6,
+        "mean_energy_j": float(img_np.mean()),
     }
 
 
@@ -307,14 +312,29 @@ def main():
             aux[name].pop("device", None)
 
     cornell = aux.get("cornell", {})
-    baseline = 0.0
+    pub = {}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BASELINE.json")) as f:
             pub = json.load(f).get("published", {})
-        baseline = float(pub.get("cornell128_16spp_ref_cpu_paths_per_s", 0.0))
     except Exception:
         pass
+    # Per-config reference-CPU denominators (parity/src/parity_*.cpp builds,
+    # measured on this machine) -> vs_ref_cpu ratio on every row.
+    ref_keys = {
+        "cornell": "cornell128_16spp_ref_cpu_paths_per_s",
+        "rtiow_distortion": "rtiow_192x128_16spp_ref_cpu_paths_per_s",
+        "envmap_cube_is": "envmap_cube_is_128_16spp_ref_cpu_paths_per_s",
+        "tof_amcw": "tof_96_16spp_ref_cpu_paths_per_s",
+        "bvh_100k": "bvh100k_160x120_4spp_ref_cpu_paths_per_s",
+    }
+    for name, key in ref_keys.items():
+        row = aux.get(name)
+        ref = float(pub.get(key, 0.0))
+        if isinstance(row, dict) and "paths_per_s" in row and ref > 0:
+            row["ref_cpu_paths_per_s"] = ref
+            row["vs_ref_cpu"] = round(row["paths_per_s"] / ref, 3)
+    baseline = float(pub.get("cornell128_16spp_ref_cpu_paths_per_s", 0.0))
     paths_per_s = float(cornell.get("paths_per_s", 0.0))
     vs = paths_per_s / baseline if baseline > 0 else 0.0
 

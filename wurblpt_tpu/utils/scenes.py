@@ -545,9 +545,14 @@ def tof_box(room_half: float = 1.2) -> Scene:
     box = G.generate_cube(0.25)
     btf = Transformation.make(translation=(0.3, -h + 0.25, -0.4))
     scene.take_mesh_instance(MeshInstance(box, white, btf))
-    # ToF illumination unit at the camera position (origin), facing -z
+    # ToF illumination unit at the camera position, facing INTO the room
+    # (-z): generate_disk's +z normal must be flipped or the light shines
+    # into the wall behind it and the whole capture is black (round-4 fix —
+    # the bench only measured throughput, so the dark frame went unnoticed
+    # until the reference twin rendered black too).
     tof = scene.take_material(LightTof(radiance_w=8.0, half_angle=np.deg2rad(40)))
     lm = G.generate_disk(0.02)
-    ltf = Transformation.make(translation=(0.0, 0.0, h - 0.01))
+    ltf = Transformation.make(translation=(0.0, 0.0, h - 0.01),
+                              rotation=quat_from_axis_angle((0, 1, 0), np.pi))
     scene.take_mesh_instance(MeshInstance(lm, tof, ltf), hot_spot=True)
     return scene
