@@ -180,3 +180,26 @@ def test_per_light_estimator_matches_mixture_estimator():
     mp = imgs["per_light"].mean()
     mm = imgs["mixture"].mean()
     assert abs(mp - mm) / (mm + 1e-9) < 0.05, f"{mp} vs {mm}"
+
+
+def test_uniform_light_sampling_opt_out():
+    """build(light_sampling='uniform') must restore the reference's uniform
+    pick exactly: no weight/alias tables attached (wurblpt.hpp:187), while
+    the per-prim pick probs (for per-light MIS) become 1/L."""
+    sc = B.Scene()
+    sc.take_mesh_instance(B.MeshInstance(
+        mesh=G.generate_quad(2.0, 2.0), material=B.Lambertian(albedo=(0.7,) * 3)))
+    for i, r in enumerate((2.0, 20.0, 200.0)):
+        sc.take_sphere(B.SphereObject((-1.5 + 1.5 * i, 1.0, 2.0), 0.2,
+                                      B.LightDiffuse(radiance=(r,) * 3)),
+                       hot_spot=True)
+    scene = sc.build(light_sampling="uniform")
+    assert scene.light_weights is None
+    assert scene.light_alias_prob is None
+    pp = np.asarray(scene.prim_light_pick)
+    lp = np.asarray(scene.light_prims)
+    np.testing.assert_allclose(pp[lp], 1.0 / 3.0)
+    import pytest
+
+    with pytest.raises(ValueError):
+        sc.build(light_sampling="nonsense")
