@@ -347,17 +347,6 @@ def _wide_children(bvh, node, o, inv_d, t_min, t_max_eff, W):
     return jnp.where(hit, near, BIG), links
 
 
-def _stack_push(stack_l, stack_t, sp, link, tval, mask):
-    """Push (link, tval) on lanes where mask; one-hot write at sp."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, stack_l.shape, 1)
-    oh = (iota == sp[:, None]) & mask[:, None]
-    return (
-        jnp.where(oh, link[:, None], stack_l),
-        jnp.where(oh, tval[:, None], stack_t),
-        sp + mask.astype(jnp.int32),
-    )
-
-
 def _stack_push_sorted(stack_l, stack_t, sp, links, tnear, live):
     """Push children 1..cnt-1 of the SORTED candidate list in far-to-near
     order (nearest ends on top) — in ONE pass over the stack.
@@ -403,11 +392,13 @@ def _stack_pop(stack_l, stack_t, sp, best, mask):
 
 
 def _wide_walk_to_leaf(bvh, o, inv_d, t_min, t_max, node, sp, stack_l,
-                       stack_t, best_t, ordered: bool, stop_count: int = 0):
+                       stack_t, best_t, stop_count: int = 0):
     """Advance every lane to its next LEAF (node <= -2) or to done (-1).
 
-    `ordered`: sort hit children front-to-back (closest hit) so the shrinking
-    best_t prunes; any-hit skips the sort (visit order is irrelevant).
+    Children are always visited front-to-back (the sort is ~10% of a step and
+    the prefix property is what the single-pass push needs); for closest-hit
+    callers the shrinking best_t then prunes, for any-hit the order is merely
+    harmless.
 
     `stop_count`: break out early once the number of lanes still WALKING
     (node >= 0) drops to this bound while at least one lane is parked at a
@@ -493,7 +484,7 @@ def _wide_closest_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
             node, sp, stack_l, stack_t, bt, bp, bu, bv = state
             node, sp, stack_l, stack_t = _wide_walk_to_leaf(
                 bvh, o_s, inv_d, t_min_s, t_max_s, node, sp, stack_l, stack_t,
-                bt, ordered=True, stop_count=m // 4)
+                bt, stop_count=m // 4)
             on_leaf = node <= -2
             leaf_row = jnp.where(on_leaf, -node - 2, -1)
             pids, t_all, u, v, _ = _packed_leaf_tests(
@@ -579,7 +570,7 @@ def _wide_any_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
             node, sp, stack_l, stack_t, occ = state
             node, sp, stack_l, stack_t = _wide_walk_to_leaf(
                 bvh, o_s, inv_d, t_min_s, t_max_s, node, sp, stack_l, stack_t,
-                t_max_s, ordered=False, stop_count=m // 4)
+                t_max_s, stop_count=m // 4)
             on_leaf = node <= -2
             leaf_row = jnp.where(on_leaf, -node - 2, -1)
             _, _, _, _, ok = _packed_leaf_tests(
