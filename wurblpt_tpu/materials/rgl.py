@@ -595,26 +595,28 @@ def rgl_sample(tables: RGLTables, mid, wi, u2):
 # Wavefront lane adapters (called from render.bsdf dispatch)
 # ---------------------------------------------------------------------------
 
-def _lane_frame(scene, hr, wo_world):
-    mid = jnp.maximum(scene.materials.rgl_id[hr.mat], 0)
+def _lane_frame(scene, hr, wo_world, rgl_id=None):
+    if rgl_id is None:
+        rgl_id = scene.materials.rgl_id[hr.mat]
+    mid = jnp.maximum(rgl_id, 0)
     t, b = onb_from_normal_tangent(hr.normal, hr.tangent)
     # RGL convention: "wi" is the direction toward the viewer (material_rgl.hpp:67-70).
     wi = to_local(wo_world, t, b, hr.normal)
     return mid, t, b, wi
 
 
-def rgl_sample_lanes(scene, hr, wo_world, u2):
+def rgl_sample_lanes(scene, hr, wo_world, u2, rgl_id=None):
     """(direction, f*cos, pdf, ok) for RGL lanes (MaterialRGL::scatter)."""
-    mid, t, b, wi = _lane_frame(scene, hr, wo_world)
+    mid, t, b, wi = _lane_frame(scene, hr, wo_world, rgl_id)
     wo, fval, pdf, ok = rgl_sample(scene.rgl, mid, wi, u2)
     ok = ok & (~hr.backside)
     d = normalize(to_world(wo, t, b, hr.normal))
     return d, fval, pdf, ok
 
 
-def rgl_eval_lanes(scene, hr, wo_world, wd):
+def rgl_eval_lanes(scene, hr, wo_world, wd, rgl_id=None):
     """(f*cos, pdf, ok) toward wd (MaterialRGL::scatterToDirection)."""
-    mid, t, b, wi = _lane_frame(scene, hr, wo_world)
+    mid, t, b, wi = _lane_frame(scene, hr, wo_world, rgl_id)
     wo = to_local(wd, t, b, hr.normal)
     fval, pdf = rgl_eval(scene.rgl, mid, wi, wo)
     ok = (~hr.backside) & (dot(wd, hr.normal) > 0)

@@ -119,7 +119,96 @@ class SceneStatic(NamedTuple):
 PER_LIGHT_MIS_MIN = 8  # lights; below this the O(L) mixture broadcast is cheap
 
 
-def apply_normal_map(scene: SceneArrays, static: SceneStatic, hr: HitRecord) -> HitRecord:
+# ---------------------------------------------------------------------------
+# Packed material rows: ONE gather for all per-lane material attributes
+# ---------------------------------------------------------------------------
+#
+# Measured round 4 (PROFILE.md 1b): on this TPU toolchain a row gather costs
+# ~0.7-0.8 ms per 131072 lanes REGARDLESS of table or row size (row-descriptor
+# pricing) — and the bounce body was doing ~15 separate `mt.field[hr.mat]`
+# gathers per iteration (typ, flags, albedo, emissive, p0..p2, texture ids,
+# rgl id, again in emitted and bsdf_eval). Packing the MaterialTable into a
+# single [M, 28] f32 matrix (ints bitcast) makes all of them ONE gather per
+# bounce — the same trick as the wide-BVH node rows and the MXU attribute
+# matmul. The packed matrix is built per trace from the (differentiable)
+# table inside jit, so XLA hoists it out of the bounce loop and gradients
+# still flow to the material parameters through the pack.
+
+class MatRow(NamedTuple):
+    """Per-lane material attributes (all [N] / [N,4]), from one packed row."""
+
+    typ: jnp.ndarray
+    flags: jnp.ndarray
+    albedo: jnp.ndarray
+    emissive: jnp.ndarray
+    p0: jnp.ndarray
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    albedo_tex: jnp.ndarray
+    emissive_tex: jnp.ndarray
+    normal_tex: jnp.ndarray
+    opacity_tex: jnp.ndarray
+    spec_tex: jnp.ndarray
+    rgl_id: jnp.ndarray
+
+
+def pack_material_table(mt) -> jnp.ndarray:
+    """[M, 28] f32: albedo|emissive|p0|p1|p2 (20 floats) + 8 float-encoded
+    int columns (typ, flags, 5 texture ids, rgl_id)."""
+    m = mt.typ.shape[0]
+    neg1 = jnp.full((m,), -1, jnp.int32)
+    p2 = mt.p2 if mt.p2 is not None else jnp.zeros_like(mt.p0)
+    opat = mt.opacity_tex if mt.opacity_tex is not None else neg1
+    spct = mt.spec_tex if mt.spec_tex is not None else neg1
+    # Int columns are stored as exact float VALUES (all < 2^24), not bit
+    # patterns: small-int bit patterns are f32 DENORMALS and XLA flushes
+    # denormals to zero in some op sequences (measured: bitcast int32 ->
+    # concat -> column slice -> bitcast back returns zeros on this
+    # toolchain) — float-encoding is exact and flush-proof.
+    ints = jnp.stack([mt.typ, mt.flags, mt.albedo_tex, mt.emissive_tex,
+                      mt.normal_tex, opat, spct, mt.rgl_id], axis=-1)
+    return jnp.concatenate(
+        [mt.albedo, mt.emissive, mt.p0, mt.p1, p2,
+         ints.astype(jnp.float32)], axis=-1)
+
+
+def gather_material_rows(packed, mat_ids) -> MatRow:
+    """One [N]-row gather of the packed table -> every per-lane attribute."""
+    row = packed[mat_ids]
+    ints = jnp.round(row[..., 20:28]).astype(jnp.int32)
+    return MatRow(
+        typ=ints[..., 0], flags=ints[..., 1],
+        albedo=row[..., 0:4], emissive=row[..., 4:8],
+        p0=row[..., 8:12], p1=row[..., 12:16], p2=row[..., 16:20],
+        albedo_tex=ints[..., 2], emissive_tex=ints[..., 3],
+        normal_tex=ints[..., 4], opacity_tex=ints[..., 5],
+        spec_tex=ints[..., 6], rgl_id=ints[..., 7],
+    )
+
+
+def material_rows(scene: SceneArrays, mat_ids, packed=None) -> MatRow:
+    """MatRow for `mat_ids` — via `packed` (one gather) when provided, else
+    per-field gathers (compatibility path for direct callers/tests)."""
+    if packed is not None:
+        return gather_material_rows(packed, mat_ids)
+    mt = scene.materials
+    m = mat_ids.shape[0] if hasattr(mat_ids, "shape") else 1
+    neg1 = jnp.full(mat_ids.shape, -1, jnp.int32)
+    return MatRow(
+        typ=mt.typ[mat_ids], flags=mt.flags[mat_ids],
+        albedo=mt.albedo[mat_ids], emissive=mt.emissive[mat_ids],
+        p0=mt.p0[mat_ids], p1=mt.p1[mat_ids],
+        p2=(mt.p2[mat_ids] if mt.p2 is not None else jnp.zeros(mat_ids.shape + (4,))),
+        albedo_tex=mt.albedo_tex[mat_ids], emissive_tex=mt.emissive_tex[mat_ids],
+        normal_tex=mt.normal_tex[mat_ids],
+        opacity_tex=(mt.opacity_tex[mat_ids] if mt.opacity_tex is not None else neg1),
+        spec_tex=(mt.spec_tex[mat_ids] if mt.spec_tex is not None else neg1),
+        rgl_id=mt.rgl_id[mat_ids],
+    )
+
+
+def apply_normal_map(scene: SceneArrays, static: SceneStatic, hr: HitRecord,
+                     mrow: "MatRow" = None) -> HitRecord:
     """Perturb the shading normal by the material's normal map.
 
     Reference ``Material::normalAt``/``tangentSpaceAt`` (material.hpp:195-228):
@@ -131,7 +220,7 @@ def apply_normal_map(scene: SceneArrays, static: SceneStatic, hr: HitRecord) -> 
         return hr
     from .texture import sample_texture
 
-    ntex = scene.materials.normal_tex[hr.mat]
+    ntex = mrow.normal_tex if mrow is not None else scene.materials.normal_tex[hr.mat]
     has_nm = (ntex >= 0) & hr.hit
     tex_n = sample_texture(scene.textures, jnp.maximum(ntex, 0), hr.uv)[..., :3]
     nt = normalize(tex_n * 2.0 - 1.0)
@@ -233,16 +322,16 @@ def _ggx_eval_local(wo, wd, f0, ax, ay):
 # ModPhong helpers
 # ---------------------------------------------------------------------------
 
-def _modphong_ks(scene: SceneArrays, static: "SceneStatic", hr: HitRecord):
+def _modphong_ks(scene: SceneArrays, static: "SceneStatic", hr: HitRecord,
+                 mrow: "MatRow"):
     """Shade-time specular color: map_Ks texture when present, else the
     constant p1 slot (material_modphong.hpp:129-146). Compiled out (constant
     path only) when no scene material carries a specular texture."""
-    mt = scene.materials
-    ks = mt.p1[hr.mat]
+    ks = mrow.p1
     if static.has_spec_tex:
         from .texture import sample_texture
 
-        stex = mt.spec_tex[hr.mat]
+        stex = mrow.spec_tex
         ks_t = sample_texture(scene.textures, jnp.maximum(stex, 0), hr.uv)
         ks = jnp.where((stex >= 0)[..., None], ks_t, ks)
     return ks
@@ -286,15 +375,18 @@ def _sample_power_cosine(axis, exponent, u2):
 # Emission
 # ---------------------------------------------------------------------------
 
-def emitted(scene: SceneArrays, static: SceneStatic, hr: HitRecord, view_dir):
+def emitted(scene: SceneArrays, static: SceneStatic, hr: HitRecord, view_dir,
+            mrow: "MatRow" = None):
     """Radiance emitted from the hit toward the viewer (material.hpp:182-185).
 
     view_dir points from the hit toward the previous vertex (= -ray.dir).
+    `mrow`: pre-gathered material attributes (one packed-row gather).
     """
-    mt = scene.materials
-    typ = mt.typ[hr.mat]
-    flags = mt.flags[hr.mat]
-    e = material_emissive(scene, hr.mat, hr.uv)
+    if mrow is None:
+        mrow = material_rows(scene, hr.mat)
+    typ = mrow.typ
+    flags = mrow.flags
+    e = material_emissive(scene, hr.mat, hr.uv, mrow=mrow)
 
     is_emitter = (
         (typ == MaterialType.LIGHT_DIFFUSE)
@@ -312,7 +404,7 @@ def emitted(scene: SceneArrays, static: SceneStatic, hr: HitRecord, view_dir):
 
     # Spot/ToF cone: emit only within the opening angle around the normal
     # (light_spot.hpp:32-75, light_tof.hpp:37-89).
-    in_cone = cos_view >= mt.p0[hr.mat, 0]
+    in_cone = cos_view >= mrow.p0[..., 0]
     is_cone = (typ == MaterialType.LIGHT_SPOT) | (typ == MaterialType.LIGHT_TOF)
     ok = is_emitter & front_ok & vis & (in_cone | ~is_cone)
     return jnp.where(ok[..., None], e, 0.0)
@@ -331,6 +423,7 @@ def bsdf_sample(
     u4,
     u_lobe,
     u_chan=None,
+    mrow: "MatRow" = None,
 ) -> ScatterSample:
     """Sample the outgoing lobe at each hit (reference Material::scatter).
 
@@ -343,8 +436,9 @@ def bsdf_sample(
     them and biases renders. Discrete picks are detached (stop_gradient) so
     gradients flow through the continuous eval only.
     """
-    mt = scene.materials
-    typ = mt.typ[hr.mat]
+    if mrow is None:
+        mrow = material_rows(scene, hr.mat)
+    typ = mrow.typ
     n = hr.normal
     wo = -ray_dir
     N = typ.shape[0]
@@ -355,7 +449,7 @@ def bsdf_sample(
     pdf = jnp.zeros((N,))
     ior = ray_ior
 
-    albedo = material_albedo(scene, hr.mat, hr.uv)
+    albedo = material_albedo(scene, hr.mat, hr.uv, mrow=mrow)
     u2 = jax.lax.stop_gradient(u4[..., 0:2])
     u_lobe = jax.lax.stop_gradient(u_lobe)
     if u_chan is None:
@@ -375,8 +469,8 @@ def bsdf_sample(
 
     # ---- GGX ----
     if MaterialType.GGX in static.mat_types:
-        ax = jnp.maximum(mt.p0[hr.mat, 0], 1e-4)
-        ay = jnp.maximum(mt.p0[hr.mat, 1], 1e-4)
+        ax = jnp.maximum(mrow.p0[..., 0], 1e-4)
+        ay = jnp.maximum(mrow.p0[..., 1], 1e-4)
         t, b = onb_from_normal_tangent(n, hr.tangent)
         wo_l = to_local(wo, t, b, n)
         wo_l = wo_l.at[..., 2].set(jnp.maximum(wo_l[..., 2], 1e-4))
@@ -401,8 +495,8 @@ def bsdf_sample(
 
     # ---- Glass ----
     if MaterialType.GLASS in static.mat_types:
-        mat_ior = mt.p0[hr.mat]          # [N,4] per-channel IOR
-        absorption = mt.p1[hr.mat]       # [N,4]
+        mat_ior = mrow.p0                # [N,4] per-channel IOR
+        absorption = mrow.p1             # [N,4]
         dispersive = (
             (jnp.abs(mat_ior[..., 0] - mat_ior[..., 1]) > 1e-6)
             | (jnp.abs(mat_ior[..., 1] - mat_ior[..., 2]) > 1e-6)
@@ -442,14 +536,14 @@ def bsdf_sample(
 
     # ---- ModPhong ----
     if MaterialType.MODPHONG in static.mat_types:
-        ks = _modphong_ks(scene, static, hr)
-        shininess = mt.p0[hr.mat, 0]
-        opacity = mt.p0[hr.mat, 1]
+        ks = _modphong_ks(scene, static, hr, mrow)
+        shininess = mrow.p0[..., 0]
+        opacity = mrow.p0[..., 1]
         if static.has_opacity_tex:
             # map_d / diffuse-alpha opacity (material_modphong.hpp:136-146).
             from .texture import sample_texture
 
-            otex = mt.opacity_tex[hr.mat]
+            otex = mrow.opacity_tex
             opa_t = sample_texture(scene.textures, jnp.maximum(otex, 0), hr.uv)[..., 0]
             opacity = jnp.where(otex >= 0, opa_t, opacity)
         # Lobe-pick probability from the SAME shade-time kd/ks the mixture
@@ -465,12 +559,12 @@ def bsdf_sample(
         # of refraction, attenuated by the transmissive color; total internal
         # reflection absorbs (the reference returns ScatterNone).
         pass_through = jax.lax.stop_gradient(u_lobe > opacity)
-        mp_ior = mt.p0[hr.mat, 3]
+        mp_ior = mrow.p0[..., 3]
         eta = jnp.where(hr.backside, mp_ior, 1.0) / jnp.where(hr.backside, 1.0, mp_ior)
         from ..core.vecmath import refract as _refract_mp
 
         d_pass, tir_mp = _refract_mp(ray_dir, n, eta)
-        transmissive = mt.p2[hr.mat]
+        transmissive = mrow.p2
         our_ri = jnp.where(hr.backside, 1.0, mp_ior)
         # Non-transparent backside hits absorb (material_modphong.hpp:262-263).
         backside_absorb = hr.backside & ~pass_through
@@ -511,7 +605,8 @@ def bsdf_sample(
     if MaterialType.RGL in static.mat_types:
         from ..materials.rgl import rgl_sample_lanes
 
-        d_r, fcos_r, p_r, ok_r = rgl_sample_lanes(scene, hr, wo, u2)
+        d_r, fcos_r, p_r, ok_r = rgl_sample_lanes(scene, hr, wo, u2,
+                                                  rgl_id=mrow.rgl_id)
         sel = (typ == MaterialType.RGL) & ok_r
         kind = jnp.where(sel, ScatterKind.RANDOM, kind)
         direction = jnp.where(sel[..., None], d_r, direction)
@@ -525,19 +620,21 @@ def bsdf_sample(
 # Evaluation toward a given direction (NEE / MIS)
 # ---------------------------------------------------------------------------
 
-def bsdf_eval(scene: SceneArrays, static: SceneStatic, hr: HitRecord, ray_dir, wd):
+def bsdf_eval(scene: SceneArrays, static: SceneStatic, hr: HitRecord, ray_dir,
+              wd, mrow: "MatRow" = None):
     """(f*cos [N,4], pdf [N]) of scattering into direction wd
     (reference Material::scatterToDirection, material.hpp:173-179).
 
     Delta lobes (glass/mirror/none/lights) return zeros — they never take part
     in NEE (wurblpt.hpp:179 requires ScatterRandom).
     """
-    mt = scene.materials
-    typ = mt.typ[hr.mat]
+    if mrow is None:
+        mrow = material_rows(scene, hr.mat)
+    typ = mrow.typ
     n = hr.normal
     wo = -ray_dir
     N = typ.shape[0]
-    albedo = material_albedo(scene, hr.mat, hr.uv)
+    albedo = material_albedo(scene, hr.mat, hr.uv, mrow=mrow)
 
     fcos = jnp.zeros((N, 4))
     pdf = jnp.zeros((N,))
@@ -550,8 +647,8 @@ def bsdf_eval(scene: SceneArrays, static: SceneStatic, hr: HitRecord, ray_dir, w
         pdf = jnp.where(sel, p, pdf)
 
     if MaterialType.GGX in static.mat_types:
-        ax = jnp.maximum(mt.p0[hr.mat, 0], 1e-4)
-        ay = jnp.maximum(mt.p0[hr.mat, 1], 1e-4)
+        ax = jnp.maximum(mrow.p0[..., 0], 1e-4)
+        ay = jnp.maximum(mrow.p0[..., 1], 1e-4)
         t, b = onb_from_normal_tangent(n, hr.tangent)
         wo_l = to_local(wo, t, b, n)
         wd_l = to_local(wd, t, b, n)
@@ -561,8 +658,8 @@ def bsdf_eval(scene: SceneArrays, static: SceneStatic, hr: HitRecord, ray_dir, w
         pdf = jnp.where(sel, p_g, pdf)
 
     if MaterialType.MODPHONG in static.mat_types:
-        ks = _modphong_ks(scene, static, hr)
-        shininess = mt.p0[hr.mat, 0]
+        ks = _modphong_ks(scene, static, hr, mrow)
+        shininess = mrow.p0[..., 0]
         f_m, p_m = _modphong_eval(wo, wd, n, albedo, ks, shininess)
         # Full lobe despite opacity, matching the reference's
         # scatterToDirection (material_modphong.hpp:310-328): NEE only runs on
@@ -583,7 +680,7 @@ def bsdf_eval(scene: SceneArrays, static: SceneStatic, hr: HitRecord, ray_dir, w
     if MaterialType.RGL in static.mat_types:
         from ..materials.rgl import rgl_eval_lanes
 
-        f_r, p_r, ok_r = rgl_eval_lanes(scene, hr, wo, wd)
+        f_r, p_r, ok_r = rgl_eval_lanes(scene, hr, wo, wd, rgl_id=mrow.rgl_id)
         sel = (typ == MaterialType.RGL) & ok_r
         fcos = jnp.where(sel[..., None], f_r, fcos)
         pdf = jnp.where(sel, p_r, pdf)

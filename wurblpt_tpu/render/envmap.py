@@ -151,16 +151,28 @@ def env_sample(env: EnvMapArrays, u3):
     """
     res = env.pdf_table.shape[0]
     n = res * res
+    # One packed [n, 3] row per cell (alias prob, alias idx, own pdf) plus a
+    # second gather for the aliased cell's pdf: 2 descriptor-priced gathers
+    # instead of 3 (PROFILE.md 1b; the pack is loop-invariant and hoisted).
+    # alias ids stored as exact float values (< 2^24): denormal bit patterns
+    # are flushed by some XLA op sequences (render/bsdf.py pack note).
+    packed = jnp.concatenate([
+        env.alias_prob[:, None],
+        env.alias_idx.astype(jnp.float32)[:, None],
+        env.pdf_table.reshape(n)[:, None],
+    ], -1)
     cell = jnp.clip((u3[..., 0] * n).astype(jnp.int32), 0, n - 1)
     accept = u3[..., 0] * n - cell.astype(jnp.float32)
-    take_alias = accept > env.alias_prob[cell]
-    cell = jnp.where(take_alias, env.alias_idx[cell], cell)
+    row = packed[cell]
+    take_alias = accept > row[..., 0]
+    cell = jnp.where(
+        take_alias, jnp.round(row[..., 1]).astype(jnp.int32), cell)
+    pdf = jnp.where(take_alias, packed[cell][..., 2], row[..., 2])
     ci = cell // res   # v index
     cj = cell % res    # u index
     u = (cj.astype(jnp.float32) + u3[..., 1]) / res
     v = (ci.astype(jnp.float32) + u3[..., 2]) / res
     d_map = square_to_sphere(jnp.stack([u, v], axis=-1))
-    pdf = env.pdf_table[ci, cj]
     return quat_rotate(env.rotation, d_map), pdf
 
 

@@ -41,6 +41,8 @@ from .bsdf import (
     bsdf_eval,
     bsdf_sample,
     emitted,
+    gather_material_rows,
+    pack_material_table,
 )
 from .camera import CameraConfig, CameraParams, camera_rays
 from .envmap import env_has_importance, env_pdf, env_radiance, env_sample
@@ -101,7 +103,7 @@ class _LoopState(NamedTuple):
 
 
 def _light_emitted_at(scene: SceneArrays, static: SceneStatic, prim, point, toward,
-                      frame=None):
+                      frame=None, mat_packed=None):
     """Emitted radiance of light prim `prim` at surface point `point` toward
     direction `toward` (unit, pointing from light to receiver).
 
@@ -144,16 +146,21 @@ def _light_emitted_at(scene: SceneArrays, static: SceneStatic, prim, point, towa
 
     # Orient normal toward the receiver, honoring one-sidedness: emission only
     # when the receiver is on the front side (or the material is two-sided).
-    mt = scene.materials
+    # One packed-row gather for the light's material attributes (flags, type,
+    # cone angle, emission) — see bsdf.pack_material_table.
     from ..scene.ir import MaterialFlags, MaterialType
+    from .bsdf import material_rows
 
+    lrow = (gather_material_rows(mat_packed, mat) if mat_packed is not None
+            else material_rows(scene, mat))
     cos_v = dot(n, toward)
-    two_sided = (mt.flags[mat] & MaterialFlags.TWO_SIDED) > 0
+    two_sided = (lrow.flags & MaterialFlags.TWO_SIDED) > 0
     front = (cos_v > 0.0) | two_sided
-    typ = mt.typ[mat]
-    in_cone = jnp.abs(cos_v) >= mt.p0[mat, 0]
+    typ = lrow.typ
+    in_cone = jnp.abs(cos_v) >= lrow.p0[..., 0]
     is_cone = (typ == MaterialType.LIGHT_SPOT) | (typ == MaterialType.LIGHT_TOF)
-    e = material_emissive(scene, mat, jnp.zeros(point.shape[:-1] + (2,)))
+    e = material_emissive(scene, mat, jnp.zeros(point.shape[:-1] + (2,)),
+                          mrow=lrow)
     ok = front & (in_cone | ~is_cone)
     return jnp.where(ok[..., None], e, 0.0)
 
@@ -263,6 +270,13 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
     else:
         lframes = None
 
+    # ONE packed material matrix per trace (loop-invariant, hoisted by XLA):
+    # every per-lane material attribute then costs a single row gather per
+    # bounce instead of ~15 separate `mt.field[hr.mat]` gathers, which at
+    # ~0.8 ms per gather per 131072 lanes were most of the bounce body
+    # (PROFILE.md 1b).
+    mat_packed = pack_material_table(scene.materials)
+
     def cast(o_, d_, tmin_, pixel_id, sample_id, k, salt_ctx):
         """Closest hit incl. stochastic medium scattering (media.py).
 
@@ -312,12 +326,12 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
             acc = sensor.accumulate(acc, ev)
 
         hr = assemble_hit(scene, st.o, st.d, t, prim, u, v, anim_ctx=anim_ctx, ms=ms)
-        # Normal mapping (material.hpp:195-228): perturb the shading frame
-        # before any scatter/eval; compiled out when no normal maps exist.
-        hr = apply_normal_map(scene, static, hr)
         if static.has_media:
             # Medium scatter lanes: phase-function material, arbitrary frame
             # facing the ray (hitable_medium.hpp:94-97 sets an arbitrary normal).
+            # Applied BEFORE the material-row gather so medium lanes fetch the
+            # phase material's row; normal mapping afterwards is a no-op on
+            # them (phase materials carry no normal map).
             mm = med_mask[..., None]
             hr = hr._replace(
                 mat=jnp.where(med_mask, med_mat, hr.mat),
@@ -326,6 +340,11 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
                 backside=jnp.where(med_mask, False, hr.backside),
                 uv=jnp.where(med_mask[..., None], 0.0, hr.uv),
             )
+        # ONE row gather for every material attribute this bounce touches.
+        mrow = gather_material_rows(mat_packed, hr.mat)
+        # Normal mapping (material.hpp:195-228): perturb the shading frame
+        # before any scatter/eval; compiled out when no normal maps exist.
+        hr = apply_normal_map(scene, static, hr, mrow=mrow)
 
         # ---- 3. path lengths (wurblpt.hpp:148-150) ------------------------
         geom_len = jnp.where(hit, st.geom_len + t, st.geom_len)
@@ -339,7 +358,7 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
         # Per-light mode: the prim actually hit identifies the ONE light
         # whose NEE strategy could have produced this ray; its pick_prob x
         # solid-angle pdf comes O(1) from the hit itself (t, cos, 1/area).
-        e = emitted(scene, static, hr, -st.d)
+        e = emitted(scene, static, hr, -st.d, mrow=mrow)
         if per_light:
             lp_hit = lights_pdf_at_hit(
                 scene, st.o, st.d, t, jnp.where(hit, prim, -1), hr.geom_normal)
@@ -369,7 +388,8 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
         u_aux = uniform4(pixel_id, sample_id, k, Salt.BSDF_AUX)
         u_lobe = u_aux[..., 0]
         u_chan = u_aux[..., 1]
-        sr = bsdf_sample(scene, static, hr, st.d, st.ior, u4, u_lobe, u_chan)
+        sr = bsdf_sample(scene, static, hr, st.d, st.ior, u4, u_lobe, u_chan,
+                         mrow=mrow)
         is_random = hit & (sr.kind == ScatterKind.RANDOM) & (sr.pdf > 0.0)
         is_explicit = hit & (sr.kind == ScatterKind.EXPLICIT)
 
@@ -396,7 +416,7 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
                     jnp.stack([ldir, sr.direction], axis=1), frames=lframes
                 )
                 pdf_light, light_pdf_next = pdf_pair[:, 0], pdf_pair[:, 1]
-            f_l, pdf_b = bsdf_eval(scene, static, hr, st.d, ldir)
+            f_l, pdf_b = bsdf_eval(scene, static, hr, st.d, ldir, mrow=mrow)
             if static.has_media:
                 # Media block shadow rays stochastically (salt_ctx=1): need the
                 # closest blocker segment, keep the identity-check path.
@@ -429,7 +449,7 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
             Le = _light_emitted_at(
                 scene, static, jnp.maximum(lprim, 0),
                 hr.position + ldir * st_t[..., None], -ldir,
-                frame=pick_frame,
+                frame=pick_frame, mat_packed=mat_packed,
             )
             # Detached-sampling estimator: the pdf and MIS weight are treated
             # as constants of the tape; gradients flow through f, Le and the
@@ -462,7 +482,7 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
         if env_is:
             ue = uniform4(pixel_id, sample_id, k, Salt.ENVMAP_SAMPLE)[..., :3]
             edir, epdf = env_sample(scene.envmap, ue)
-            f_e, pdf_be = bsdf_eval(scene, static, hr, st.d, edir)
+            f_e, pdf_be = bsdf_eval(scene, static, hr, st.d, edir, mrow=mrow)
             if static.has_media:
                 et, eprim, _, _, _, _ = cast(
                     hr.position, edir, jnp.full((n,), params.min_hit_distance),

@@ -218,9 +218,12 @@ def lights_pdf_at_hit(scene: SceneArrays, o, d, t, prim, geom_normal):
     n_tri = scene.n_tris
     P = scene.prim_light_pick.shape[0]
     pc = jnp.clip(jnp.maximum(prim, 0), 0, P - 1)
-    pp = jnp.where(prim >= 0, scene.prim_light_pick[pc], 0.0)
+    # One [P,2] row gather for (pick prob, 1/area) — loop-invariant pack.
+    pick_area = jnp.stack([scene.prim_light_pick, scene.prim_inv_area], -1)
+    row = pick_area[pc]
+    pp = jnp.where(prim >= 0, row[..., 0], 0.0)
     cos = jnp.abs(jnp.sum(d * geom_normal, axis=-1))
-    pdf_tri = t * t * scene.prim_inv_area[pc] / jnp.maximum(cos, 1e-12)
+    pdf_tri = t * t * row[..., 1] / jnp.maximum(cos, 1e-12)
     if scene.n_spheres > 0:
         si = jnp.clip(pc - n_tri, 0, scene.n_spheres - 1)
         S = scene.spheres
@@ -258,19 +261,70 @@ def lights_sample(
     (`light_weights` + alias table) the pick is O(1) power-proportional.
     """
     L = scene.light_prims.shape[0]
-    alias_p = getattr(scene, "light_alias_prob", None)
-    if alias_p is not None and alias_p.shape[0] == L:
-        # Alias-table pick: O(1) per lane regardless of light count.
-        cell = jnp.clip((u3[..., 0] * L).astype(jnp.int32), 0, L - 1)
-        frac = u3[..., 0] * L - cell.astype(u3.dtype)
-        take_alias = frac >= alias_p[cell]
-        pick = jnp.where(take_alias, scene.light_alias_idx[cell], cell)
-    else:
-        pick = jnp.clip((u3[..., 0] * L).astype(jnp.int32), 0, L - 1)
-    lp = scene.light_prims[pick]
     n_tri = scene.n_tris
-    is_tri = lp < n_tri
     n = origin.shape[0]
+    alias_p = getattr(scene, "light_alias_prob", None)
+    has_alias = alias_p is not None and alias_p.shape[0] == L
+
+    # STATIC lights: one packed [L, 12] row per light (tri p0|e1|e2 or
+    # sphere center+radius; prim id and alias entries bitcast) — the pick
+    # plus geometry fetch is then TWO row gathers instead of ~8 (row gathers
+    # are descriptor-priced, ~0.8 ms per 131072 lanes each; PROFILE.md 1b).
+    # The pack is loop-invariant, hoisted out of the bounce loop by XLA.
+    packed = None
+    if frames is None:
+        lp_all = scene.light_prims
+        if n_tri > 0:
+            ti_all = jnp.clip(lp_all, 0, n_tri - 1)
+            T = scene.tris
+            tri_geom = jnp.concatenate(
+                [T.p0[ti_all], T.e1[ti_all], T.e2[ti_all]], -1)   # [L, 9]
+        else:
+            tri_geom = jnp.zeros((L, 9), jnp.float32)
+        if scene.n_spheres > 0:
+            si_all = jnp.clip(lp_all - n_tri, 0, scene.n_spheres - 1)
+            S = scene.spheres
+            sph_geom = jnp.concatenate(
+                [S.center[si_all], S.radius[si_all][:, None],
+                 jnp.zeros((L, 5), jnp.float32)], -1)             # [L, 9]
+        else:
+            sph_geom = jnp.zeros((L, 9), jnp.float32)
+        geom = jnp.where((lp_all < n_tri)[:, None], tri_geom, sph_geom)
+        a_p = alias_p if has_alias else jnp.ones((L,), jnp.float32)
+        a_i = (scene.light_alias_idx if has_alias
+               else jnp.arange(L, dtype=jnp.int32))
+        # prim/alias ids stored as exact float values (< 2^24) — denormal
+        # bit patterns are flushed by some XLA op sequences (bsdf.py note).
+        packed = jnp.concatenate([
+            geom,
+            lp_all.astype(jnp.float32)[:, None],
+            a_p[:, None],
+            a_i.astype(jnp.float32)[:, None],
+        ], -1)                                                    # [L, 12]
+
+    cell = jnp.clip((u3[..., 0] * L).astype(jnp.int32), 0, L - 1)
+    if has_alias:
+        # Alias-table pick: O(1) per lane regardless of light count.
+        frac = u3[..., 0] * L - cell.astype(u3.dtype)
+        if packed is not None:
+            cell_row = packed[cell]                               # gather 1
+            take_alias = frac >= cell_row[..., 10]
+            pick = jnp.where(
+                take_alias,
+                jnp.round(cell_row[..., 11]).astype(jnp.int32),
+                cell)
+        else:
+            take_alias = frac >= alias_p[cell]
+            pick = jnp.where(take_alias, scene.light_alias_idx[cell], cell)
+    else:
+        pick = cell
+    if packed is not None:
+        pick_row = packed[pick]                                   # gather 2
+        lp = jnp.round(pick_row[..., 9]).astype(jnp.int32)
+    else:
+        pick_row = None
+        lp = scene.light_prims[pick]
+    is_tri = lp < n_tri
 
     if frames is not None:
         m_all, t_all = frames
@@ -282,9 +336,13 @@ def lights_sample(
 
     # Triangle: uniform point.
     if n_tri > 0:
-        ti = jnp.clip(lp, 0, n_tri - 1)
-        T = scene.tris
-        p0, e1, e2 = T.p0[ti], T.e1[ti], T.e2[ti]
+        if pick_row is not None:
+            p0, e1, e2 = (pick_row[..., 0:3], pick_row[..., 3:6],
+                          pick_row[..., 6:9])
+        else:
+            ti = jnp.clip(lp, 0, n_tri - 1)
+            T = scene.tris
+            p0, e1, e2 = T.p0[ti], T.e1[ti], T.e2[ti]
         if m_pick is not None:
             p0 = jnp.einsum("nij,nj->ni", m_pick, p0) + t_pick
             e1 = jnp.einsum("nij,nj->ni", m_pick, e1)
@@ -306,10 +364,14 @@ def lights_sample(
 
     # Sphere: cone sample; expected hit distance = near quadratic root.
     if scene.n_spheres > 0:
-        si = jnp.clip(lp - n_tri, 0, scene.n_spheres - 1)
-        S = scene.spheres
-        center = S.center[si]
-        radius = S.radius[si]
+        if pick_row is not None:
+            center = pick_row[..., 0:3]
+            radius = pick_row[..., 3]
+        else:
+            si = jnp.clip(lp - n_tri, 0, scene.n_spheres - 1)
+            S = scene.spheres
+            center = S.center[si]
+            radius = S.radius[si]
         if m_pick is not None:
             center = jnp.einsum("nij,nj->ni", m_pick, center) + t_pick
             radius = radius * jnp.linalg.norm(m_pick, axis=-2).mean(-1)

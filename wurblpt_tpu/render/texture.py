@@ -117,11 +117,17 @@ def _fbm(noise_fn, u, v, octaves_f, gain, seed, max_octaves: int = 8):
     return total / jnp.maximum(norm, 1e-8)
 
 
-def _bilinear_stack(tt: TextureTable, image_id, u, v, linear):
-    """Per-lane bilinear lookup in the padded image stack with fract-wrap."""
+def _bilinear_stack(tt: TextureTable, image_id, u, v, linear, hw=None):
+    """Per-lane bilinear lookup in the padded image stack with fract-wrap.
+
+    `hw`: optional per-lane (h, w) floats already gathered (the packed
+    descriptor row carries them) — avoids four img_hw gathers."""
     img = tt.img_data
-    h = tt.img_hw[image_id, 0].astype(jnp.float32)
-    w = tt.img_hw[image_id, 1].astype(jnp.float32)
+    if hw is None:
+        h = tt.img_hw[image_id, 0].astype(jnp.float32)
+        w = tt.img_hw[image_id, 1].astype(jnp.float32)
+    else:
+        h, w = hw
     # fract wrap (texture_image.hpp wrap semantics)
     uu = u - jnp.floor(u)
     vv = v - jnp.floor(v)
@@ -133,8 +139,8 @@ def _bilinear_stack(tt: TextureTable, image_id, u, v, linear):
     y0 = jnp.floor(y)
     fx = jnp.where(linear, x - x0, jnp.round(x - x0))
     fy = jnp.where(linear, y - y0, jnp.round(y - y0))
-    wi = tt.img_hw[image_id, 1]
-    hi = tt.img_hw[image_id, 0]
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
     x0i = jnp.mod(x0.astype(jnp.int32), wi)
     x1i = jnp.mod(x0i + 1, wi)
     y0i = jnp.mod(y0.astype(jnp.int32), hi)
@@ -153,12 +159,42 @@ def sample_texture(tt: TextureTable, tex_id, uv, time=None):
 
     Returns [N, 4] RGBA/RGB+NIR values after the flattened transformer affine
     (texture.hpp:207-246 semantics).
+
+    The descriptor fields (type, params, affines, image id and its h/w) are
+    packed into ONE [NT, 24] matrix — built here from the table, so XLA
+    hoists the pack out of the render loop — and fetched with a single row
+    gather per call: row gathers are descriptor-priced (~0.8 ms per 131072
+    lanes each on this TPU, PROFILE.md 1b), and the field-by-field form paid
+    ~10 of them per texture sample. Only the 4 bilinear texel fetches remain
+    per-lane data gathers.
     """
+    # [NT, 24]: params(8) | uv_scale(2) | uv_offset(2) | val_scale(4) |
+    # val_offset(4) | typ,image_id (float-encoded) | img_h,img_w (denormalized)
+    iid = jnp.maximum(tt.image_id, 0)
+    hw = (tt.img_hw[jnp.clip(iid, 0, max(tt.img_hw.shape[0] - 1, 0))]
+          .astype(jnp.float32)
+          if tt.img_data.shape[0] > 0 else
+          jnp.ones(tt.image_id.shape + (2,), jnp.float32))
+    packed = jnp.concatenate([
+        tt.params, tt.uv_scale, tt.uv_offset, tt.val_scale, tt.val_offset,
+        jnp.stack([tt.typ, iid], -1).astype(jnp.float32),  # exact: ids < 2^24
+        hw,
+    ], axis=-1)
+
     tex_id = jnp.clip(tex_id, 0, tt.count - 1)
-    typ = tt.typ[tex_id]
-    params = tt.params[tex_id]
-    u = uv[..., 0] * tt.uv_scale[tex_id, 0] + tt.uv_offset[tex_id, 0]
-    v = uv[..., 1] * tt.uv_scale[tex_id, 1] + tt.uv_offset[tex_id, 1]
+    row = packed[tex_id]                      # ONE descriptor gather
+    params = row[..., 0:8]
+    uv_scale = row[..., 8:10]
+    uv_offset = row[..., 10:12]
+    val_scale = row[..., 12:16]
+    val_offset = row[..., 16:20]
+    ints = jnp.round(row[..., 20:22]).astype(jnp.int32)
+    typ = ints[..., 0]
+    image_id = ints[..., 1]
+    img_h = row[..., 22]
+    img_w = row[..., 23]
+    u = uv[..., 0] * uv_scale[..., 0] + uv_offset[..., 0]
+    v = uv[..., 1] * uv_scale[..., 1] + uv_offset[..., 1]
 
     out = params[..., 0:4]  # CONSTANT
 
@@ -171,7 +207,7 @@ def sample_texture(tt: TextureTable, tex_id, uv, time=None):
 
     if tt.img_data.shape[0] > 0:
         img_val = _bilinear_stack(
-            tt, jnp.maximum(tt.image_id[tex_id], 0), u, v, params[..., 0] > 0.5
+            tt, image_id, u, v, params[..., 0] > 0.5, hw=(img_h, img_w)
         )
         out = jnp.where((typ == TextureType.IMAGE)[..., None], img_val, out)
 
@@ -198,25 +234,29 @@ def sample_texture(tt: TextureTable, tex_id, uv, time=None):
     noise_val = jnp.where(typ == TextureType.PERLIN_NOISE, perlin, noise_val)
     out = jnp.where(any_noise[..., None], noise_val[..., None], out)
 
-    return out * tt.val_scale[tex_id] + tt.val_offset[tex_id]
+    return out * val_scale + val_offset
 
 
-def material_albedo(scene, mat_ids, uv):
-    """albedo texture if present, else constant column."""
+def material_albedo(scene, mat_ids, uv, mrow=None):
+    """albedo texture if present, else constant column.
+
+    `mrow` (render.bsdf.MatRow): pre-gathered per-lane material attributes —
+    avoids two more row gathers (the bounce body gathers ONE packed row per
+    bounce, PROFILE.md 1b)."""
     mt = scene.materials
-    const = mt.albedo[mat_ids]
+    const = mrow.albedo if mrow is not None else mt.albedo[mat_ids]
     if scene.textures.count == 0:
         return const
-    tex_id = mt.albedo_tex[mat_ids]
+    tex_id = mrow.albedo_tex if mrow is not None else mt.albedo_tex[mat_ids]
     texed = sample_texture(scene.textures, tex_id, uv)
     return jnp.where((tex_id >= 0)[..., None], texed * const, const)
 
 
-def material_emissive(scene, mat_ids, uv):
+def material_emissive(scene, mat_ids, uv, mrow=None):
     mt = scene.materials
-    const = mt.emissive[mat_ids]
+    const = mrow.emissive if mrow is not None else mt.emissive[mat_ids]
     if scene.textures.count == 0:
         return const
-    tex_id = mt.emissive_tex[mat_ids]
+    tex_id = mrow.emissive_tex if mrow is not None else mt.emissive_tex[mat_ids]
     texed = sample_texture(scene.textures, tex_id, uv)
     return jnp.where((tex_id >= 0)[..., None], texed * const, const)
