@@ -392,7 +392,8 @@ def _stack_pop(stack_l, stack_t, sp, best, mask):
 
 
 def _wide_walk_to_leaf(bvh, o, inv_d, t_min, t_max, node, sp, stack_l,
-                       stack_t, best_t, stop_count: int = 0):
+                       stack_t, best_t, stop_count: int = 0,
+                       unroll: int = 1):
     """Advance every lane to its next LEAF (node <= -2) or to done (-1).
 
     Children are always visited front-to-back (the sort is ~10% of a step and
@@ -420,7 +421,7 @@ def _wide_walk_to_leaf(bvh, o, inv_d, t_min, t_max, node, sp, stack_l,
         parked = jnp.any(nd <= -2)
         return any_walking & ~(few & parked)
 
-    def body(state):
+    def step(state):
         node, sp, stack_l, stack_t = state
         live = node >= 0
         tmax_eff = jnp.minimum(t_max, best_t)
@@ -437,7 +438,18 @@ def _wide_walk_to_leaf(bvh, o, inv_d, t_min, t_max, node, sp, stack_l,
         node = jnp.where(live, jnp.where(first_hit, desc, popped), node)
         return node, sp, stack_l, stack_t
 
-    return jax.lax.while_loop(cond, body, (node, sp, stack_l, stack_t))
+    def nbody(state):
+        # Unrolled steps per while iteration: at compacted (small) widths the
+        # loop's fixed per-iteration launch/sync (~0.45 ms regardless of
+        # work, PROFILE.md 2a) dominates; settled lanes mask out of later
+        # steps. Kept at 1 for the full-width stages — a global 2x unroll
+        # regressed the whole frame 20x (code-size/scheduling pathology in
+        # the nested wavefront loop).
+        for _ in range(unroll):
+            state = step(state)
+        return state
+
+    return jax.lax.while_loop(cond, nbody, (node, sp, stack_l, stack_t))
 
 
 def _stage_sizes(n: int):
@@ -484,7 +496,7 @@ def _wide_closest_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
             node, sp, stack_l, stack_t, bt, bp, bu, bv = state
             node, sp, stack_l, stack_t = _wide_walk_to_leaf(
                 bvh, o_s, inv_d, t_min_s, t_max_s, node, sp, stack_l, stack_t,
-                bt, stop_count=m // 4)
+                bt, stop_count=m // 4, unroll=2 if m <= 4800 else 1)
             on_leaf = node <= -2
             leaf_row = jnp.where(on_leaf, -node - 2, -1)
             pids, t_all, u, v, _ = _packed_leaf_tests(
@@ -570,7 +582,7 @@ def _wide_any_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
             node, sp, stack_l, stack_t, occ = state
             node, sp, stack_l, stack_t = _wide_walk_to_leaf(
                 bvh, o_s, inv_d, t_min_s, t_max_s, node, sp, stack_l, stack_t,
-                t_max_s, stop_count=m // 4)
+                t_max_s, stop_count=m // 4, unroll=2 if m <= 4800 else 1)
             on_leaf = node <= -2
             leaf_row = jnp.where(on_leaf, -node - 2, -1)
             _, _, _, _, ok = _packed_leaf_tests(
