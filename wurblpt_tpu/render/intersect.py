@@ -484,19 +484,29 @@ def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v, anim_ctx=None, ms=None
     elif n_tri > 0:
         ti = jnp.clip(prim_safe, 0, n_tri - 1)
         T = scene.tris
+        # ONE packed attribute row per triangle (n0|n1|n2|uv*3|tan*3|gn|
+        # mat,flags float-encoded): field-by-field indexing paid ~14
+        # descriptor-priced gathers per bounce on the BVH path (~0.7 ms per
+        # 131072 lanes EACH; PROFILE.md 1c). The pack is a pure function of
+        # the triangle table, hoisted out of the render loop by XLA.
+        gn_all = normalize(cross(T.e1, T.e2))
+        tri_packed = jnp.concatenate([
+            T.n0, T.n1, T.n2, T.uv0, T.uv1, T.uv2, T.tan0, T.tan1, T.tan2,
+            gn_all,
+            jnp.stack([T.mat, T.flags], -1).astype(jnp.float32),  # ints < 2^24
+        ], axis=-1)                                               # [T, 32]
+        row = tri_packed[ti]
+        n0, n1, n2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        uv0, uv1, uv2 = row[..., 9:11], row[..., 11:13], row[..., 13:15]
+        t0_, t1_, t2_ = row[..., 15:18], row[..., 18:21], row[..., 21:24]
+        gn = row[..., 24:27]
+        ints = jnp.round(row[..., 27:29]).astype(jnp.int32)
         w = 1.0 - u - v
-        n_interp = (
-            w[..., None] * T.n0[ti] + u[..., None] * T.n1[ti] + v[..., None] * T.n2[ti]
-        )
-        n_interp = normalize(n_interp)
-        gn = normalize(cross(T.e1[ti], T.e2[ti]))
-        uv_tri = (
-            w[..., None] * T.uv0[ti] + u[..., None] * T.uv1[ti] + v[..., None] * T.uv2[ti]
-        )
-        tan_raw = (
-            w[..., None] * T.tan0[ti] + u[..., None] * T.tan1[ti] + v[..., None] * T.tan2[ti]
-        )
-        has_tan = (T.flags[ti] & 2) > 0
+        n_interp = normalize(
+            w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2)
+        uv_tri = w[..., None] * uv0 + u[..., None] * uv1 + v[..., None] * uv2
+        tan_raw = w[..., None] * t0_ + u[..., None] * t1_ + v[..., None] * t2_
+        has_tan = (ints[..., 1] & 2) > 0
         # Gram-Schmidt the interpolated tangent against the shading normal.
         tan_gs = tan_raw - dot(tan_raw, n_interp, keepdims=True) * n_interp
         tan_len = safe_sqrt(dot(tan_gs, tan_gs))
@@ -506,7 +516,7 @@ def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v, anim_ctx=None, ms=None
             tan_gs / jnp.maximum(tan_len, 1e-20)[..., None],
             tan_fallback,
         )
-        mat_tri = T.mat[ti]
+        mat_tri = ints[..., 0]
     else:
         zeros3 = jnp.zeros_like(position)
         n_interp = zeros3
@@ -518,12 +528,17 @@ def assemble_hit(scene: SceneArrays, o, d, t, prim, u, v, anim_ctx=None, ms=None
     if scene.n_spheres > 0:
         si = jnp.clip(prim_safe - n_tri, 0, scene.n_spheres - 1)
         S = scene.spheres
-        center = S.center[si]
-        radius = S.radius[si]
+        # One packed row per sphere (center|radius|mat) — same rationale.
+        sph_packed = jnp.concatenate([
+            S.center, S.radius[:, None], S.mat.astype(jnp.float32)[:, None],
+        ], axis=-1)                                               # [S, 5]
+        srow = sph_packed[si]
+        center = srow[..., 0:3]
+        radius = srow[..., 3]
         local = (pos_local - center) / jnp.maximum(radius, 1e-20)[..., None]
         n_sph = normalize(local)
         uv_sph, tan_sph = _sphere_uv_tangent(n_sph)
-        mat_sph = S.mat[si]
+        mat_sph = jnp.round(srow[..., 4]).astype(jnp.int32)
     else:
         n_sph = jnp.zeros_like(position)
         uv_sph = jnp.zeros(position.shape[:-1] + (2,))
