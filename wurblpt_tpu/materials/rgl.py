@@ -296,13 +296,40 @@ def _search(fetch, n, u, max_size: int, strict: bool):
     return jnp.clip(lo, 0, jnp.maximum(n - 2, 0))
 
 
+
+def _extract(rowvals, idx):
+    """rowvals[..., idx] WITHOUT a per-lane gather: one-hot reduce over the
+    (small, static) grid axis. Row gathers are descriptor-priced on this TPU
+    (~0.7 ms per 131072 lanes each, PROFILE.md 1c); once a whole row is
+    fetched, point lookups inside it must be arithmetic, not more gathers."""
+    S = rowvals.shape[-1]
+    iota = jnp.arange(S, dtype=jnp.int32)
+    oh = (iota == idx[..., None]).astype(rowvals.dtype)
+    while oh.ndim < rowvals.ndim:
+        oh = oh[..., None, :]
+    return jnp.sum(rowvals * oh, axis=-1)
+
+
+def _search_row(rowvals, n, u, strict: bool):
+    """find_interval (powitacq_rgb.inl:132-151) over a PRE-FETCHED row:
+    largest i in [0, n-2] with row[i] < u (strict) or <= u. For the sorted /
+    CDF rows this is a vectorized count — identical to the bisection the
+    reference runs, minus one gather per bisection step."""
+    S = rowvals.shape[-1]
+    iota = jnp.arange(S, dtype=jnp.int32)
+    within = iota < n[..., None]
+    pred = (rowvals < u[..., None]) if strict else (rowvals <= u[..., None])
+    cnt = jnp.sum((pred & within).astype(jnp.int32), axis=-1)
+    return jnp.clip(cnt - 1, 0, jnp.maximum(n - 2, 0))
+
 def _param_weights(vals, nvals, mid, x, max_size: int):
     """Parameter lookup: index + lerp weight into a sorted grid
-    (powitacq_rgb.inl:335-355)."""
+    (powitacq_rgb.inl:335-355). One row gather + vectorized search."""
     n = nvals[mid]
-    i0 = _search(lambda i: vals[mid, i], n, x, max_size, strict=False)
-    p0 = vals[mid, i0]
-    p1 = vals[mid, jnp.minimum(i0 + 1, jnp.maximum(n - 1, 0))]
+    row = vals[mid]
+    i0 = _search_row(row, n, x, strict=False)
+    p0 = _extract(row, i0)
+    p1 = _extract(row, jnp.minimum(i0 + 1, jnp.maximum(n - 1, 0)))
     w1 = jnp.clip((x - p0) / jnp.where(p1 == p0, 1.0, p1 - p0), 0.0, 1.0)
     w1 = jnp.where(n <= 1, 0.0, w1)
     return i0, w1
@@ -352,33 +379,43 @@ class _Warp2(NamedTuple):
         return x0, y0, fx - x0, fy - y0
 
     def eval(self, pos):
-        """Bilinear density at pos in the unit square (powitacq_rgb.inl:530-583)."""
+        """Bilinear density at pos in the unit square (powitacq_rgb.inl:530-583).
+
+        Two ROW fetches + one-hot column extraction instead of four point
+        gathers (_extract rationale)."""
         x0, y0, sx, sy = self._cell(pos)
-        v00 = self._g(self.data, y0, x0)
-        v10 = self._g(self.data, y0, x0 + 1)
-        v01 = self._g(self.data, y0 + 1, x0)
-        v11 = self._g(self.data, y0 + 1, x0 + 1)
+        dr0 = self._g(self.data, y0)
+        dr1 = self._g(self.data, y0 + 1)
+        v00 = _extract(dr0, x0)
+        v10 = _extract(dr0, x0 + 1)
+        v01 = _extract(dr1, x0)
+        v11 = _extract(dr1, x0 + 1)
         return ((1 - sy) * ((1 - sx) * v00 + sx * v10)
                 + sy * ((1 - sx) * v01 + sx * v11)) * self._area
 
     def invert(self, pos):
         """Map a warped position back to the uniform domain + density
-        (powitacq_rgb.inl:434-527)."""
+        (powitacq_rgb.inl:434-527). Row fetches + one-hot extraction."""
         x0, y0, sx, sy = self._cell(pos)
-        v00 = self._g(self.data, y0, x0)
-        v10 = self._g(self.data, y0, x0 + 1)
-        v01 = self._g(self.data, y0 + 1, x0)
-        v11 = self._g(self.data, y0 + 1, x0 + 1)
+        dr0 = self._g(self.data, y0)
+        dr1 = self._g(self.data, y0 + 1)
+        v00 = _extract(dr0, x0)
+        v10 = _extract(dr0, x0 + 1)
+        v01 = _extract(dr1, x0)
+        v11 = _extract(dr1, x0 + 1)
         c0 = (1 - sy) * v00 + sy * v01
         c1 = (1 - sy) * v10 + sy * v11
         pdf = (1 - sx) * c0 + sx * c1
 
         ux = sx * (c0 + 0.5 * sx * (c1 - c0))
-        v0 = self._g(self.cond, y0, x0)
-        v1 = self._g(self.cond, y0 + 1, x0)
+        cr0 = self._g(self.cond, y0)
+        cr1 = self._g(self.cond, y0 + 1)
+        v0 = _extract(cr0, x0)
+        v1 = _extract(cr1, x0)
         ux = ux + ((1 - sy) * v0 + sy * v1)
-        r0 = self._g(self.cond, y0, self.w - 1)
-        r1 = self._g(self.cond, y0 + 1, self.w - 1)
+        wlast = jnp.maximum(self.w - 1, 0)
+        r0 = _extract(cr0, wlast)
+        r1 = _extract(cr1, wlast)
         ux = ux / jnp.maximum((1 - sy) * r0 + sy * r1, 1e-20)
         uy = sy * (r0 + 0.5 * sy * (r1 - r0)) + self._g(self.marg, y0)
         return jnp.stack([ux, uy], -1), pdf * self._area
@@ -389,11 +426,15 @@ class _Warp2(NamedTuple):
         u = jnp.clip(u, 1.0 - _ONE_MINUS_EPS, _ONE_MINUS_EPS)
         ux, uy = u[..., 0], u[..., 1]
 
-        row = _search(lambda i: self._g(self.marg, i), self.h, uy, max_h, True)
-        uy = uy - self._g(self.marg, row)
+        marg_row = self._g(self.marg)                 # whole [N, H] CDF row
+        row = _search_row(marg_row, self.h, uy, True)
+        uy = uy - _extract(marg_row, row)
 
-        r0 = self._g(self.cond, row, self.w - 1)
-        r1 = self._g(self.cond, row + 1, self.w - 1)
+        cr0 = self._g(self.cond, row)
+        cr1 = self._g(self.cond, row + 1)
+        wlast = jnp.maximum(self.w - 1, 0)
+        r0 = _extract(cr0, wlast)
+        r1 = _extract(cr1, wlast)
         is_const = jnp.abs(r0 - r1) < 1e-4 * (r0 + r1)
         disc = jnp.sqrt(jnp.maximum(r0 * r0 - 2.0 * uy * (r0 - r1), 0.0))
         uy = jnp.where(is_const,
@@ -402,17 +443,16 @@ class _Warp2(NamedTuple):
 
         ux = ux * ((1 - uy) * r0 + uy * r1)
 
-        def fetch_cond(i):
-            return ((1 - uy) * self._g(self.cond, row, i)
-                    + uy * self._g(self.cond, row + 1, i))
+        fc_row = (1 - uy)[..., None] * cr0 + uy[..., None] * cr1
+        col = _search_row(fc_row, self.w, ux, True)
+        ux = ux - _extract(fc_row, col)
 
-        col = _search(fetch_cond, self.w, ux, max_w, True)
-        ux = ux - fetch_cond(col)
-
-        v00 = self._g(self.data, row, col)
-        v10 = self._g(self.data, row, col + 1)
-        v01 = self._g(self.data, row + 1, col)
-        v11 = self._g(self.data, row + 1, col + 1)
+        dr0 = self._g(self.data, row)
+        dr1 = self._g(self.data, row + 1)
+        v00 = _extract(dr0, col)
+        v10 = _extract(dr0, col + 1)
+        v01 = _extract(dr1, col)
+        v11 = _extract(dr1, col + 1)
         c0 = (1 - uy) * v00 + uy * v01
         c1 = (1 - uy) * v10 + uy * v11
         is_const2 = jnp.abs(c0 - c1) < 1e-4 * (c0 + c1)
@@ -453,10 +493,10 @@ def _rgb_eval(tables: RGLTables, wrp: _Warp2, pos):
     x0, y0, sx, sy = wrp._cell(pos)
     rgb = tables.rgb
 
-    def g(yy, xx):
-        return _Warp2._g(wrp, rgb, slice(None), yy, xx)  # -> [N, 4]
-
-    v00, v10, v01, v11 = g(y0, x0), g(y0, x0 + 1), g(y0 + 1, x0), g(y0 + 1, x0 + 1)
+    rr0 = _Warp2._g(wrp, rgb, slice(None), y0)       # [N, 4, W] row fetch
+    rr1 = _Warp2._g(wrp, rgb, slice(None), y0 + 1)
+    v00, v10 = _extract(rr0, x0), _extract(rr0, x0 + 1)
+    v01, v11 = _extract(rr1, x0), _extract(rr1, x0 + 1)
     sx = sx[..., None]
     sy = sy[..., None]
     out = (1 - sy) * ((1 - sx) * v00 + sx * v10) + sy * ((1 - sx) * v01 + sx * v11)
