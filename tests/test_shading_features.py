@@ -292,3 +292,33 @@ def test_motion_blur_render_smoke():
     assert mid[:, 4:10].max() > 0.5
     assert mid[:, 22:28].max() > 0.5
     assert a[0, :].max() < 0.25
+
+
+def test_cube_envmap_bilinear_lookup():
+    """Cube faces are sampled BILINEARLY with edge clamp, matching the
+    reference's TextureImage faces (texture_image.hpp:85-90, 182-212) —
+    round 4 replaced the earlier nearest-texel shortcut."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from wurblpt_tpu.render.envmap import _cube_lookup
+
+    H = W = 4
+    img = np.zeros((6, H, W, 4), np.float32)
+    img[0, :, :, 0] = np.arange(H * W, dtype=np.float32).reshape(H, W)
+    img = jnp.asarray(img)
+
+    def dir_for(u, v):
+        sc = 2 * u - 1.0
+        tc = 2 * v - 1.0
+        return jnp.asarray([[1.0, -tc, -sc]])   # +x face, ax = 1
+
+    # texel center is exact
+    v = _cube_lookup(img, dir_for((2 + 0.5) / W, (1 + 0.5) / H))
+    assert float(v[0, 0]) == 6.0
+    # midpoint of two texels is their average
+    v = _cube_lookup(img, dir_for(3.0 / W, (1 + 0.5) / H))
+    assert float(v[0, 0]) == 6.5
+    # face edge clamps to the last texel
+    v = _cube_lookup(img, dir_for(0.999999, (1 + 0.5) / H))
+    assert float(v[0, 0]) == 7.0

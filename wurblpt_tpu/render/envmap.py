@@ -113,9 +113,23 @@ def _cube_lookup(img, d):
     u = 0.5 * (sc / ma + 1.0)
     v = 0.5 * (tc / ma + 1.0)
     h, w = img.shape[1], img.shape[2]
-    xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-    yi = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    return img[face, yi, xi]
+    # BILINEAR per-face lookup with edge clamp — the reference's cube faces
+    # are TextureImages sampled bilinearly (texture_image.hpp:182-212 with
+    # x1/y1 clamped by value(), :85-90). One gather via a [6, H, W, 16]
+    # 2x2-patch image (pure function of the faces, hoisted; PROFILE.md 1c).
+    img_r = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+    img_d = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    img_rd = jnp.concatenate([img_d[:, :, 1:], img_d[:, :, -1:]], axis=2)
+    patch = jnp.concatenate([img, img_r, img_d, img_rd], -1)  # [6, H, W, 16]
+    us = jnp.maximum(u * w - 0.5, 0.0)
+    vs = jnp.maximum(v * h - 0.5, 0.0)
+    x0 = jnp.clip(us.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(vs.astype(jnp.int32), 0, h - 1)
+    a = (us - x0.astype(jnp.float32))[..., None]
+    b = (vs - y0.astype(jnp.float32))[..., None]
+    c = patch[face, y0, x0]
+    c00, c10, c01, c11 = c[..., 0:4], c[..., 4:8], c[..., 8:12], c[..., 12:16]
+    return (c00 * (1 - a) + c10 * a) * (1 - b) + (c01 * (1 - a) + c11 * a) * b
 
 
 def env_radiance(env: EnvMapArrays, d):
