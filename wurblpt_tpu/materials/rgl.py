@@ -480,10 +480,12 @@ def _eval0(arr, hw, mid, pos):
     x0 = jnp.clip(fx.astype(jnp.int32), 0, w - 2)
     y0 = jnp.clip(fy.astype(jnp.int32), 0, h - 2)
     sx, sy = fx - x0, fy - y0
-    v00 = arr[mid, y0, x0]
-    v10 = arr[mid, y0, x0 + 1]
-    v01 = arr[mid, y0 + 1, x0]
-    v11 = arr[mid, y0 + 1, x0 + 1]
+    r0 = arr[mid, y0]                      # [N, W] row fetches (2 gathers
+    r1 = arr[mid, y0 + 1]                  # instead of 4 point gathers)
+    v00 = _extract(r0, x0)
+    v10 = _extract(r0, x0 + 1)
+    v01 = _extract(r1, x0)
+    v11 = _extract(r1, x0 + 1)
     return (1 - sy) * ((1 - sx) * v00 + sx * v10) + sy * ((1 - sx) * v01 + sx * v11)
 
 
