@@ -131,3 +131,42 @@ def test_cornell_renders_identically_with_bvh():
         )
         img.append(np.asarray(out))
     np.testing.assert_allclose(img[0], img[1], atol=2e-3)
+
+
+def test_wide_traversal_compaction_stages_match_binary():
+    """65536 rays force the wide traversal through its full live-lane
+    compaction schedule (stages 65536 -> 16384 -> 4096 -> 1024, walker-count
+    walk exits, small-stage unroll, scatter-back of results); the earlier
+    tests' <=2048-ray batches run single-stage and never touch that
+    machinery. Results must be identical to the binary threaded walk."""
+    import os
+
+    p0, e1, e2, sc, sr = _random_soup(11, 9000, 400)
+    bvh_w = build_bvh_arrays((p0, e1, e2), (sc, sr))
+    assert bvh_w.wide_nodes is not None
+    os.environ["WURBLPT_BVH_WIDE"] = "0"
+    try:
+        bvh_b = build_bvh_arrays((p0, e1, e2), (sc, sr))
+    finally:
+        os.environ.pop("WURBLPT_BVH_WIDE")
+    assert bvh_b.wide_nodes is None
+    scene_w = _scene_with(p0, e1, e2, sc, sr, bvh_w)
+    scene_b = _scene_with(p0, e1, e2, sc, sr, bvh_b)
+
+    o, d, tmin, tmax = _rays(13, 65536)
+    t_w, p_w, u_w, v_w = bvh_closest_hit(scene_w, o, d, tmin, tmax)
+    t_b, p_b, u_b, v_b = bvh_closest_hit(scene_b, o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(p_w), np.asarray(p_b))
+    hit = np.asarray(p_b) >= 0
+    assert hit.mean() > 0.15
+    np.testing.assert_allclose(np.asarray(t_w)[hit], np.asarray(t_b)[hit],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u_w)[hit], np.asarray(u_b)[hit],
+                               atol=1e-6)
+
+    from wurblpt_tpu.accel.traverse import bvh_any_hit
+    tmax2 = jnp.full(tmax.shape, 1.5)
+    a_w = np.asarray(bvh_any_hit(scene_w, o, d, tmin, tmax2))
+    a_b = np.asarray(bvh_any_hit(scene_b, o, d, tmin, tmax2))
+    np.testing.assert_array_equal(a_w, a_b)
+    assert 0.05 < a_w.mean() < 1.0
