@@ -301,7 +301,12 @@ def _collapse_wide(built, leaf_size: int, width: int):
             rows[w, j, 0:3] = node_min[m]
             rows[w, j, 3:6] = node_max[m]
             links[w, j] = (-2 - leaf_row[m]) if is_leaf[m] else wid_of[m]
-    rows[..., 6] = links.view(np.float32)
+    # Exact float VALUES, not bitcast bit patterns: small ids bitcast to f32
+    # denormals, which this toolchain flushes to zero in some XLA op
+    # sequences (PROFILE.md 1c rule 2). All links are well inside +-2^24 so
+    # the float round-trips exactly (asserted).
+    assert np.abs(links).max(initial=0) < (1 << 24)
+    rows[..., 6] = links.astype(np.float32)
     # A lane pushes at most (W-1) entries per descended level.
     stack_depth = max_depth * (width - 1) + 2
     return rows.reshape(M, width * 7), stack_depth

@@ -336,7 +336,11 @@ def _wide_children(bvh, node, o, inv_d, t_min, t_max_eff, W):
     row = bvh.wide_nodes[ns].reshape(ns.shape[0], W, 7)   # ONE gather
     bmin = row[..., 0:3]
     bmax = row[..., 3:6]
-    links = jax.lax.bitcast_convert_type(row[..., 6], jnp.int32)
+    # Links are stored as exact float VALUES (|v| < 2^24), not bitcast int
+    # patterns: small positive ids bitcast to f32 denormals, and this
+    # toolchain flushes denormals to zero in some XLA op sequences
+    # (PROFILE.md 1c rule 2; advisor round-4 finding on build.py:304).
+    links = row[..., 6].astype(jnp.int32)
     t0 = (bmin - o[:, None, :]) * inv_d[:, None, :]
     t1 = (bmax - o[:, None, :]) * inv_d[:, None, :]
     tlo = jnp.minimum(t0, t1)
@@ -468,6 +472,23 @@ def _stage_sizes(n: int):
     while sizes[-1] >= 4 * min_stage:
         sizes.append(sizes[-1] // 4)
     return sizes
+
+
+def _stage_sizes_fused(n: int):
+    """Fused-cast schedule (== the standard one).
+
+    MEASURED NEGATIVE RESULTS on the full bvh_100k frame (round 5, radiance
+    bit-identical 0.32989 throughout): fusing the bounce's closest cast with
+    its deferred env-NEE any-hit into one traversal ran 581 ms vs 519 ms for
+    two separate casts under the /4 schedule, and 620 ms with an extra /2
+    entry stage to shed entry-dead lanes (the extra compaction boundary cost
+    more than the idle lanes it removed). The shared-lockstep saving never
+    materializes on the BVH path — the integrator therefore fuses casts only
+    on the MXU path, where the fusion is one larger matmul (integrator
+    _fused_mode). Kept as a separate function so future schedule experiments
+    stay frame-gated in one place.
+    """
+    return _stage_sizes(n)
 
 
 def _compact_gather(idx, valid, *arrays):
@@ -628,6 +649,143 @@ def _wide_any_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
         else:
             occ_f = state[4]
     return occ_f
+
+
+def _wide_fused_hit(scene: SceneArrays, o, d, t_min, t_max, anyhit,
+                    obj_rays=None):
+    """Merged closest-hit + any-hit traversal over ONE lane batch.
+
+    Lanes where `anyhit` is True retire on their FIRST confirmed hit in
+    (t_min, t_max) and report only occlusion; the remaining lanes fold
+    best-hit state exactly like `_wide_closest_hit`. Both kinds share the
+    walk loop, the compaction stages, and the straggler tail, so a bounce's
+    closest cast and its (deferred) NEE shadow casts pay the lockstep
+    per-iteration fixed costs ONCE instead of once per cast — on this
+    platform those fixed costs, not FLOPs, dominate the tail (PROFILE.md
+    2a). Lanes with t_max <= t_min (inactive) die on the root step and are
+    compacted away at the first stage boundary.
+
+    Returns (t, prim, u, v, occluded); closest lanes read the first four,
+    any-hit lanes read the last.
+    """
+    bvh = scene.bvh
+    n = o.shape[0]
+    _, W, D = _wide_decode(bvh)
+
+    def run_stage(o_s, d_s, t_min_s, t_max_s, ah_s, obj_s, state, stop):
+        inv_d = jnp.where(
+            jnp.abs(d_s) > 1e-20, 1.0 / jnp.where(d_s == 0.0, 1.0, d_s), BIG)
+        m = o_s.shape[0]
+
+        def cond(state):
+            unfinished = state[0] != -1
+            if stop <= 0:
+                return jnp.any(unfinished)
+            return jnp.sum(unfinished.astype(jnp.int32)) > stop
+
+        def body(state):
+            node, sp, stack_l, stack_t, bt, bp, bu, bv, occ = state
+            node, sp, stack_l, stack_t = _wide_walk_to_leaf(
+                bvh, o_s, inv_d, t_min_s, t_max_s, node, sp, stack_l, stack_t,
+                bt, stop_count=m // 4, unroll=2 if m <= 4800 else 1)
+            on_leaf = node <= -2
+            leaf_row = jnp.where(on_leaf, -node - 2, -1)
+            bound = jnp.minimum(t_max_s, bt)
+            pids, t_all, u, v, ok = _packed_leaf_tests(
+                scene, bvh, o_s, d_s, t_min_s, bound, leaf_row, on_leaf, obj_s)
+            # closest fold (masked off on any-hit lanes)
+            t_all = jnp.where(t_all < bt[:, None], t_all, BIG)
+            k = jnp.argmin(t_all, axis=-1)
+            rows = jnp.arange(m)
+            tk = t_all[rows, k]
+            closer = (tk < bt) & ~ah_s
+            is_tri_win = pids[rows, k] < scene.n_tris
+            bt = jnp.where(closer, tk, bt)
+            bp = jnp.where(closer, pids[rows, k], bp)
+            bu = jnp.where(closer, jnp.where(is_tri_win, u[rows, k], 0.0), bu)
+            bv = jnp.where(closer, jnp.where(is_tri_win, v[rows, k], 0.0), bv)
+            # any-hit retire on first confirmed hit
+            occ = occ | (ah_s & on_leaf & jnp.any(ok, axis=-1))
+            popped, sp = _stack_pop(stack_l, stack_t, sp,
+                                    jnp.minimum(t_max_s, bt), on_leaf)
+            node = jnp.where(
+                on_leaf, jnp.where(ah_s & occ, -1, popped), node)
+            return node, sp, stack_l, stack_t, bt, bp, bu, bv, occ
+
+        return jax.lax.while_loop(cond, body, state)
+
+    state = (
+        jnp.zeros((n,), jnp.int32),                 # node (wide root = 0)
+        jnp.zeros((n,), jnp.int32),                 # sp
+        jnp.zeros((n, D), jnp.int32),               # stack links
+        jnp.full((n, D), BIG),                      # stack entry t
+        jnp.full((n,), BIG),                        # best t
+        jnp.full((n,), -1, jnp.int32),              # best prim
+        jnp.zeros((n,)),                            # best u
+        jnp.zeros((n,)),                            # best v
+        jnp.zeros((n,), bool),                      # occluded (any-hit lanes)
+    )
+    sizes = _stage_sizes_fused(n)
+    bt_f, bp_f, bu_f, bv_f, occ_f = state[4:]
+    o_s, d_s, t_min_s, t_max_s, ah_s, obj_s = o, d, t_min, t_max, anyhit, obj_rays
+    idx_full = None
+    for si, size in enumerate(sizes):
+        stop = sizes[si + 1] if si + 1 < len(sizes) else 0
+        if si > 0:
+            node = state[0]
+            idx_stage = jnp.nonzero(node != -1, size=size,
+                                    fill_value=node.shape[0])[0]
+            valid = idx_stage < node.shape[0]
+            idx_c = jnp.minimum(idx_stage, node.shape[0] - 1)
+            state = _compact_gather(idx_c, valid, *state)
+            state = (jnp.where(valid, state[0], -1),) + state[1:]
+            o_s, d_s, t_min_s, t_max_s, ah_s = _compact_gather(
+                idx_c, valid, o_s, d_s, t_min_s, t_max_s, ah_s)
+            if obj_s is not None:
+                obj_s = _compact_gather(idx_c, valid, *obj_s)
+            idx_full = idx_c if idx_full is None else idx_full[idx_c]
+            idx_full = jnp.where(valid, idx_full, n)
+        state = run_stage(o_s, d_s, t_min_s, t_max_s, ah_s, obj_s, state, stop)
+        if si > 0:
+            bt_f = bt_f.at[idx_full].set(state[4], mode="drop")
+            bp_f = bp_f.at[idx_full].set(state[5], mode="drop")
+            bu_f = bu_f.at[idx_full].set(state[6], mode="drop")
+            bv_f = bv_f.at[idx_full].set(state[7], mode="drop")
+            occ_f = occ_f.at[idx_full].set(state[8], mode="drop")
+        else:
+            bt_f, bp_f, bu_f, bv_f, occ_f = state[4:]
+    hit = bp_f >= 0
+    return jnp.where(hit, bt_f, BIG), bp_f, bu_f, bv_f, occ_f
+
+
+def bvh_fused_hit(scene: SceneArrays, o, d, t_min, t_max, n_closest: int,
+                  obj_rays=None):
+    """One traversal serving a closest segment and an any-hit segment.
+
+    The first `n_closest` lanes are closest-hit queries; the rest are
+    occlusion queries bounded by their per-lane t_max (semantics of
+    bvh_closest_hit / bvh_any_hit respectively). Returns
+    ((t, prim, u, v) over [:n_closest], occluded over [n_closest:]).
+    Falls back to two separate traversals for BVHs without wide nodes.
+    """
+    bvh = scene.bvh
+    n = o.shape[0]
+    nc = n_closest
+    if bvh.wide_nodes is not None and bvh.leaf_geom is not None and (
+            obj_rays is None or bvh.leaf_anim is not None):
+        ah = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) >= nc
+        t, prim, u, v, occ = _wide_fused_hit(
+            scene, o, d, t_min, t_max, ah, obj_rays=obj_rays)
+        return (t[:nc], prim[:nc], u[:nc], v[:nc]), occ[nc:]
+    obj_c = obj_s = None
+    if obj_rays is not None:
+        obj_c = tuple(a[:nc] for a in obj_rays)
+        obj_s = tuple(a[nc:] for a in obj_rays)
+    closest = bvh_closest_hit(
+        scene, o[:nc], d[:nc], t_min[:nc], t_max[:nc], obj_rays=obj_c)
+    occ = bvh_any_hit(
+        scene, o[nc:], d[nc:], t_min[nc:], t_max[nc:], obj_rays=obj_s)
+    return closest, occ
 
 
 def bvh_closest_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):

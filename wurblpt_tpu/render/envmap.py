@@ -174,15 +174,19 @@ def env_sample(env: EnvMapArrays, u3):
     """
     res = env.pdf_table.shape[0]
     n = res * res
-    # One packed [n, 3] row per cell (alias prob, alias idx, own pdf) plus a
-    # second gather for the aliased cell's pdf: 2 descriptor-priced gathers
-    # instead of 3 (PROFILE.md 1b; the pack is loop-invariant and hoisted).
-    # alias ids stored as exact float values (< 2^24): denormal bit patterns
-    # are flushed by some XLA op sequences (render/bsdf.py pack note).
+    # ONE packed [n, 4] row per cell (alias prob, alias idx, own pdf, ALIASED
+    # cell's pdf): a single descriptor-priced gather per sample instead of 3
+    # naive / 2 round-4 gathers (PROFILE.md 1b/1c). The aliased-cell pdf is
+    # resolved at pack time (loop-invariant, hoisted by XLA; gradients flow
+    # through the pack). alias ids stored as exact float values (< 2^24):
+    # denormal bit patterns are flushed by some XLA op sequences
+    # (render/bsdf.py pack note).
+    pdf_flat = env.pdf_table.reshape(n)
     packed = jnp.concatenate([
         env.alias_prob[:, None],
         env.alias_idx.astype(jnp.float32)[:, None],
-        env.pdf_table.reshape(n)[:, None],
+        pdf_flat[:, None],
+        pdf_flat[env.alias_idx][:, None],
     ], -1)
     cell = jnp.clip((u3[..., 0] * n).astype(jnp.int32), 0, n - 1)
     accept = u3[..., 0] * n - cell.astype(jnp.float32)
@@ -190,7 +194,7 @@ def env_sample(env: EnvMapArrays, u3):
     take_alias = accept > row[..., 0]
     cell = jnp.where(
         take_alias, jnp.round(row[..., 1]).astype(jnp.int32), cell)
-    pdf = jnp.where(take_alias, packed[cell][..., 2], row[..., 2])
+    pdf = jnp.where(take_alias, row[..., 3], row[..., 2])
     ci = cell // res   # v index
     cj = cell % res    # u index
     u = (cj.astype(jnp.float32) + u3[..., 1]) / res

@@ -46,7 +46,13 @@ from .bsdf import (
 )
 from .camera import CameraConfig, CameraParams, camera_rays
 from .envmap import env_has_importance, env_pdf, env_radiance, env_sample
-from .intersect import BIG, assemble_hit, scene_any_hit, scene_raw_hit
+from .intersect import (
+    BIG,
+    assemble_hit,
+    scene_any_hit,
+    scene_fused_cast,
+    scene_raw_hit,
+)
 from .lights import (
     light_pick_prob_of,
     lights_pdf_at_hit,
@@ -83,6 +89,64 @@ class RenderParams:
     # can leak. Scenes with such contacts should lower this (the cost is
     # that f32 roundoff in ldist must stay below it: ~1e-6 * ldist).
     shadow_identity_eps: float = 3e-4
+    # Deferred-NEE cast fusion: each bounce's NEE shadow rays are carried in
+    # loop state and traced TOGETHER with the NEXT bounce's closest cast in
+    # ONE scene_fused_cast (one traversal / one feature matmul; deposits
+    # land one bounce late with the visibility verdict). Output is
+    # bit-identical to the immediate path — same samples, same
+    # contributions, per-lane deposit order preserved (verified on cornell,
+    # envmap, terrain BVH and the pass renderer, tools/smoke_fused_nee.py).
+    # DEFAULT OFF: measured SLOWER on every bench config on TPU v5lite
+    # (round 5) — cornell 77 -> 82 ms, envmap 165 -> 180 ms (MXU path: the
+    # ~33 f32/lane pending state carried through the wavefront while_loop
+    # costs more than the merged matmul launch saves), bvh_100k 519 -> 581
+    # ms (BVH path: the merged traversal's lockstep union beat nothing —
+    # row-gather volume is lane-proportional either way and the batch runs
+    # 2x wide until the first compaction). Kept as an opt-in so the
+    # experiment is reproducible and is not silently retried.
+    fused_nee: bool = False
+
+
+class _PendNEE(NamedTuple):
+    """A bounce's NEE shadow ray + its would-be deposit, deferred one bounce.
+
+    The visibility cast rides the NEXT bounce's closest cast in one
+    scene_fused_cast; every SensorEvent field is carried so the deposit is
+    exactly the one the immediate path would have made."""
+
+    d: jnp.ndarray         # [N, 3] shadow direction
+    tmax: jnp.ndarray      # [N] visibility bound (light distance band / BIG)
+    radiance: jnp.ndarray  # [N, 4] contribution if unoccluded
+    pc: jnp.ndarray        # [N] int32 path component of the deposit
+    geom: jnp.ndarray      # [N] geometric path length at the deposit
+    opt: jnp.ndarray       # [N, 4] optical path length at the deposit
+    dist: jnp.ndarray      # [N] distance-to-light of the deposit
+    active: jnp.ndarray    # [N] bool
+
+
+def _zero_pend(n: int) -> _PendNEE:
+    return _PendNEE(
+        d=jnp.zeros((n, 3)), tmax=jnp.zeros((n,)),
+        radiance=jnp.zeros((n, 4)), pc=jnp.zeros((n,), jnp.int32),
+        geom=jnp.zeros((n,)), opt=jnp.zeros((n, 4)),
+        dist=jnp.zeros((n,)), active=jnp.zeros((n,), bool),
+    )
+
+
+def _fused_mode(static, params: "RenderParams", use_mxu: bool):
+    """(fuse light-NEE?, fuse env-NEE?) for this trace — static booleans.
+
+    Fusion applies only on the MXU intersector path, where it merges the
+    bounce's casts into ONE feature matmul. On the BVH path a merged
+    traversal measured SLOWER than two separate casts on the full bvh_100k
+    frame (581 vs 519 ms; accel/traverse._stage_sizes_fused note), so BVH
+    scenes keep immediate per-bounce shadow casts.
+    """
+    env_is = static.env_kind != 0 and static.env_importance
+    has_lights = static.n_lights > 0
+    on = (getattr(params, "fused_nee", False) and not static.has_media
+          and use_mxu)
+    return on and has_lights, on and env_is
 
 
 class _LoopState(NamedTuple):
@@ -100,6 +164,26 @@ class _LoopState(NamedTuple):
     prev_random: jnp.ndarray    # bool: previous scatter was pdf-sampled
     prev_light_pdf: jnp.ndarray  # light-mixture pdf of the previous bsdf sample
     stats: jnp.ndarray          # [2] int32: (closest casts, total casts incl. shadow)
+    pend_o: Optional[jnp.ndarray] = None      # [N, 3] deferred-NEE origin
+    pend_l: Optional[_PendNEE] = None         # deferred light-NEE
+    pend_e: Optional[_PendNEE] = None         # deferred env-NEE
+
+
+def _init_pend_fields(n: int, fuse_l: bool, fuse_e: bool):
+    return dict(
+        pend_o=jnp.zeros((n, 3)) if (fuse_l or fuse_e) else None,
+        pend_l=_zero_pend(n) if fuse_l else None,
+        pend_e=_zero_pend(n) if fuse_e else None,
+    )
+
+
+def _any_pending(st: _LoopState):
+    out = jnp.zeros((), bool)
+    if st.pend_l is not None:
+        out = out | jnp.any(st.pend_l.active)
+    if st.pend_e is not None:
+        out = out | jnp.any(st.pend_e.active)
+    return out
 
 
 def _light_emitted_at(scene: SceneArrays, static: SceneStatic, prim, point, toward,
@@ -205,6 +289,7 @@ def trace_paths(
         ms = None
 
     bounce_fn = _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n)
+    fuse_l, fuse_e = _fused_mode(static, params, ms is not None)
 
     init = _LoopState(
         bounce=jnp.zeros((n,), jnp.int32),
@@ -221,19 +306,27 @@ def trace_paths(
         prev_random=jnp.zeros((n,), bool),
         prev_light_pdf=jnp.zeros((n,)),
         stats=jnp.zeros((2,), jnp.int32),
+        **_init_pend_fields(n, fuse_l, fuse_e),
     )
 
     def cond(st: _LoopState):
-        return (jnp.min(st.bounce) < params.max_path_components) & jnp.any(st.active)
+        # Deferred NEE keeps the loop alive while deposits are pending (at
+        # most one extra step: a body with no active lanes deposits every
+        # pending and creates none).
+        return ((jnp.min(st.bounce) < params.max_path_components)
+                & jnp.any(st.active)) | _any_pending(st)
 
     body = lambda st: bounce_fn(st, pixel_id, sample_id)
 
     if params.differentiable:
         # Fixed trip count + per-bounce rematerialization: reverse-mode works
         # and residual memory stays O(state) instead of O(state * depth).
+        # Deferred NEE needs one extra trip to flush the final bounce's
+        # shadow deposits.
         body_ckpt = jax.checkpoint(body)
+        trips = params.max_path_components + (1 if (fuse_l or fuse_e) else 0)
         final = jax.lax.fori_loop(
-            0, params.max_path_components, lambda _, st: body_ckpt(st), init
+            0, trips, lambda _, st: body_ckpt(st), init
         )
     else:
         final = jax.lax.while_loop(cond, body, init)
@@ -277,15 +370,20 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
     # (PROFILE.md 1b).
     mat_packed = pack_material_table(scene.materials)
 
-    def cast(o_, d_, tmin_, pixel_id, sample_id, k, salt_ctx):
+    def cast(o_, d_, tmin_, tmax_, pixel_id, sample_id, k, salt_ctx):
         """Closest hit incl. stochastic medium scattering (media.py).
+
+        `tmax_` is per-lane: callers pass 0 for lanes that do not need this
+        cast (dead paths, non-NEE lanes) so the BVH compaction stages shed
+        them after one step instead of re-walking stale rays — with 1 spp
+        (no regeneration) roughly half the lanes are dead by bounce 2.
 
         Returns (t, prim, u, v, med_mask, med_mat); medium-scatter lanes get
         prim = n_solid + medium_id so blocker-identity checks treat them as
         occluders (wurblpt.hpp:203-217 semantics with media in the BVH).
         """
         t, prim, uu, vv = scene_raw_hit(
-            scene, o_, d_, tmin_, jnp.full((n,), BIG), anim_ctx=anim_ctx, ms=ms
+            scene, o_, d_, tmin_, tmax_, anim_ctx=anim_ctx, ms=ms
         )
         if static.has_media:
             return apply_media(
@@ -295,16 +393,65 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
         zb = jnp.zeros(t.shape, bool)
         return t, prim, uu, vv, zb, jnp.zeros(t.shape, jnp.int32)
 
+    fuse_l, fuse_e = _fused_mode(static, params, ms is not None)
+    fused = fuse_l or fuse_e
+
     def body(st: _LoopState, pixel_id, sample_id) -> _LoopState:
         k = st.bounce
-        t, prim, u, v, med_mask, med_mat = cast(
-            st.o, st.d, jnp.full((n,), params.min_hit_distance),
-            pixel_id, sample_id, k, 0
-        )
+        acc = st.acc
+        if fused:
+            # ---- fused cast: this bounce's closest rays + the PREVIOUS
+            # bounce's deferred NEE shadow rays in ONE traversal/matmul.
+            # Inactive lanes get t_max = 0 and retire on the first step.
+            o_parts = [st.o]
+            d_parts = [st.d]
+            tmax_parts = [jnp.where(st.active, jnp.full((n,), BIG), 0.0)]
+            if fuse_l:
+                o_parts.append(st.pend_o)
+                d_parts.append(st.pend_l.d)
+                tmax_parts.append(
+                    jnp.where(st.pend_l.active, st.pend_l.tmax, 0.0))
+            if fuse_e:
+                o_parts.append(st.pend_o)
+                d_parts.append(st.pend_e.d)
+                tmax_parts.append(
+                    jnp.where(st.pend_e.active, jnp.full((n,), BIG), 0.0))
+            nseg = len(o_parts)
+            (t, prim, u, v), occ = scene_fused_cast(
+                scene,
+                jnp.concatenate(o_parts, 0),
+                jnp.concatenate(d_parts, 0),
+                jnp.full((nseg * n,), params.min_hit_distance),
+                jnp.concatenate(tmax_parts, 0),
+                n, anim_ctx=anim_ctx, ms=ms,
+            )
+            med_mask = jnp.zeros((n,), bool)
+            med_mat = jnp.zeros((n,), jnp.int32)
+            # deposit the deferred NEE with this cast's visibility verdict
+            off = 0
+            if fuse_l:
+                pl = st.pend_l
+                vis = ~occ[off:off + n]
+                off += n
+                acc = sensor.accumulate(acc, SensorEvent(
+                    radiance=pl.radiance, path_component=pl.pc,
+                    geom_path_length=pl.geom, optical_path_length=pl.opt,
+                    distance_to_light=pl.dist, active=pl.active & vis))
+            if fuse_e:
+                pe = st.pend_e
+                vis = ~occ[off:off + n]
+                acc = sensor.accumulate(acc, SensorEvent(
+                    radiance=pe.radiance, path_component=pe.pc,
+                    geom_path_length=pe.geom, optical_path_length=pe.opt,
+                    distance_to_light=pe.dist, active=pe.active & vis))
+        else:
+            t, prim, u, v, med_mask, med_mat = cast(
+                st.o, st.d, jnp.full((n,), params.min_hit_distance),
+                jnp.where(st.active, jnp.full((n,), BIG), 0.0),
+                pixel_id, sample_id, k, 0
+            )
         hit = (prim >= 0) & st.active
         miss = (~(prim >= 0)) & st.active
-
-        acc = st.acc
         # ---- 2. environment on miss (wurblpt.hpp:136-146) -----------------
         if has_env:
             L_env = env_radiance(scene.envmap, st.d)
@@ -417,11 +564,17 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
                 )
                 pdf_light, light_pdf_next = pdf_pair[:, 0], pdf_pair[:, 1]
             f_l, pdf_b = bsdf_eval(scene, static, hr, st.d, ldir, mrow=mrow)
-            if static.has_media:
+            if fuse_l:
+                # Visibility is resolved by the NEXT bounce's fused cast;
+                # the band semantics (shadow_identity_eps) are identical.
+                visible = None
+                st_t = ldist
+            elif static.has_media:
                 # Media block shadow rays stochastically (salt_ctx=1): need the
                 # closest blocker segment, keep the identity-check path.
                 st_t, st_prim, _, _, _, _ = cast(
                     hr.position, ldir, jnp.full((n,), params.min_hit_distance),
+                    jnp.where(is_random, jnp.full((n,), BIG), 0.0),
                     pixel_id, sample_id, k, 1
                 )
                 visible = st_prim == lprim
@@ -436,7 +589,10 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
                                     params.min_hit_distance)
                 occluded = scene_any_hit(
                     scene, hr.position, ldir,
-                    jnp.full((n,), params.min_hit_distance), t_vis,
+                    jnp.full((n,), params.min_hit_distance),
+                    # non-NEE lanes retire at entry (compacted away on the
+                    # BVH path instead of walking a stale ray)
+                    jnp.where(is_random, t_vis, 0.0),
                     anim_ctx=anim_ctx, ms=ms,
                 )
                 visible = ~occluded
@@ -461,52 +617,78 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
             # 2021; validated by tests/test_gradients.py FD checks). Only
             # DISCRETE decisions (light pick, lobe pick, RR) stay detached.
             w_nee = power_heuristic(pdf_light, pdf_b)
-            ok = is_random & visible & (pdf_light > 1e-12)
             contrib = (
                 st.throughput
                 * f_l
                 * Le
                 * (w_nee / jnp.maximum(pdf_light, 1e-12))[..., None]
             )
-            ev = SensorEvent(
-                radiance=contrib,
-                path_component=k,
-                geom_path_length=geom_len + st_t,
-                optical_path_length=opt_len + st_t[..., None] * st.ior,
-                distance_to_light=st_t,
-                active=ok,
-            )
-            acc = sensor.accumulate(acc, ev)
+            if fuse_l:
+                t_vis = jnp.maximum(
+                    ldist * (1.0 - params.shadow_identity_eps),
+                    params.min_hit_distance)
+                new_pend_l = _PendNEE(
+                    d=ldir, tmax=t_vis, radiance=contrib, pc=k,
+                    geom=geom_len + st_t,
+                    opt=opt_len + st_t[..., None] * st.ior,
+                    dist=st_t,
+                    active=is_random & (pdf_light > 1e-12),
+                )
+            else:
+                ok = is_random & visible & (pdf_light > 1e-12)
+                ev = SensorEvent(
+                    radiance=contrib,
+                    path_component=k,
+                    geom_path_length=geom_len + st_t,
+                    optical_path_length=opt_len + st_t[..., None] * st.ior,
+                    distance_to_light=st_t,
+                    active=ok,
+                )
+                acc = sensor.accumulate(acc, ev)
 
         # ---- 7. envmap NEE (wurblpt.hpp:221-252) --------------------------
         if env_is:
             ue = uniform4(pixel_id, sample_id, k, Salt.ENVMAP_SAMPLE)[..., :3]
             edir, epdf = env_sample(scene.envmap, ue)
             f_e, pdf_be = bsdf_eval(scene, static, hr, st.d, edir, mrow=mrow)
-            if static.has_media:
+            if fuse_e:
+                unoccluded = None
+            elif static.has_media:
                 et, eprim, _, _, _, _ = cast(
                     hr.position, edir, jnp.full((n,), params.min_hit_distance),
+                    jnp.where(is_random, jnp.full((n,), BIG), 0.0),
                     pixel_id, sample_id, k, 2
                 )
                 unoccluded = eprim < 0
             else:
                 unoccluded = ~scene_any_hit(
                     scene, hr.position, edir,
-                    jnp.full((n,), params.min_hit_distance), jnp.full((n,), BIG),
+                    jnp.full((n,), params.min_hit_distance),
+                    jnp.where(is_random, jnp.full((n,), BIG), 0.0),
                     anim_ctx=anim_ctx, ms=ms,
                 )
             L_e = env_radiance(scene.envmap, edir)
             w_e = power_heuristic(epdf, pdf_be)
-            ok_e = is_random & unoccluded & (epdf > 1e-12)
-            ev = SensorEvent(
-                radiance=st.throughput * f_e * L_e * (w_e / jnp.maximum(epdf, 1e-12))[..., None],
-                path_component=k,
-                geom_path_length=geom_len,
-                optical_path_length=opt_len,
-                distance_to_light=jnp.zeros((n,)),
-                active=ok_e,
-            )
-            acc = sensor.accumulate(acc, ev)
+            contrib_e = (st.throughput * f_e * L_e
+                         * (w_e / jnp.maximum(epdf, 1e-12))[..., None])
+            if fuse_e:
+                new_pend_e = _PendNEE(
+                    d=edir, tmax=jnp.full((n,), BIG), radiance=contrib_e,
+                    pc=k, geom=geom_len, opt=opt_len,
+                    dist=jnp.zeros((n,)),
+                    active=is_random & (epdf > 1e-12),
+                )
+            else:
+                ok_e = is_random & unoccluded & (epdf > 1e-12)
+                ev = SensorEvent(
+                    radiance=contrib_e,
+                    path_component=k,
+                    geom_path_length=geom_len,
+                    optical_path_length=opt_len,
+                    distance_to_light=jnp.zeros((n,)),
+                    active=ok_e,
+                )
+                acc = sensor.accumulate(acc, ev)
 
         # ---- 8. throughput update + Russian roulette ----------------------
         # Attached pdf (see NEE note): for cosine sampling atten/pdf = albedo
@@ -561,6 +743,9 @@ def _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, n):
                 if has_lights else st.prev_light_pdf
             ),
             stats=stats,
+            pend_o=hr.position if fused else None,
+            pend_l=new_pend_l if fuse_l else None,
+            pend_e=new_pend_e if fuse_e else None,
         )
 
     return body
@@ -645,6 +830,7 @@ def render_frame_wavefront(
     else:
         ms = None
     bounce_fn = _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, L)
+    fuse_l, fuse_e = _fused_mode(static, params, ms is not None)
 
     lane = jnp.arange(L, dtype=jnp.int32)
     b_lane = lane % B            # pixel slot within the block
@@ -675,12 +861,17 @@ def render_frame_wavefront(
             prev_random=jnp.zeros((L,), bool),
             prev_light_pdf=jnp.zeros((L,)),
             stats=jnp.zeros((2,), jnp.int32),
+            **_init_pend_fields(L, fuse_l, fuse_e),
         )
         init = (init_ls, jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32))
 
         def cond(carry):
             ls, sample, k_next = carry
-            return jnp.any(ls.active) | jnp.any((k_next < P) & valid)
+            # The pending term flushes deferred NEE deposits after the last
+            # path dies (regeneration never clears a pending — it belongs to
+            # the lane's PREVIOUS path and deposits before being replaced).
+            return (jnp.any(ls.active) | jnp.any((k_next < P) & valid)
+                    | _any_pending(ls))
 
         def step(carry):
             ls, sample, k_next = carry

@@ -344,6 +344,56 @@ def scene_raw_hit(scene: SceneArrays, o, d, t_min, t_max, anim_ctx=None, ms=None
     return best
 
 
+def scene_fused_cast(scene: SceneArrays, o, d, t_min, t_max, n_closest: int,
+                     anim_ctx=None, ms=None):
+    """ONE cast serving a closest segment and an any-hit segment.
+
+    Lanes [0, n_closest) are closest-hit queries; lanes [n_closest, N) are
+    occlusion queries bounded by their per-lane t_max (set t_max <= t_min to
+    disable a lane — it retires on the first step). The integrator uses this
+    to batch a bounce's closest cast with the PREVIOUS bounce's deferred NEE
+    shadow rays, so the traversal's lockstep fixed costs (BVH path) or the
+    feature matmul (MXU path) are paid once per bounce instead of once per
+    cast. Returns ((t, prim, u, v) over the closest segment, occluded over
+    the any-hit segment).
+    """
+    if ms is not None:
+        from .intersect_mxu import mxu_fused_hit
+
+        (t, prim, u, v, _), occ = mxu_fused_hit(ms, o, d, t_min, t_max,
+                                                n_closest)
+        return (t, prim, u, v), occ
+    obj_rays = anim_ctx.ray_to_object(o, d) if anim_ctx is not None else None
+    if scene.bvh is not None:
+        from ..accel.traverse import bvh_fused_hit
+
+        return bvh_fused_hit(scene, o, d, t_min, t_max, n_closest,
+                             obj_rays=obj_rays)
+    # Brute-force tile sweep: no shared lockstep loop to save, so run the two
+    # decodes as separate sweeps over the same tiles.
+    nc = n_closest
+    obj_c = obj_s = None
+    if obj_rays is not None:
+        obj_c = tuple(a[:nc] for a in obj_rays)
+        obj_s = tuple(a[nc:] for a in obj_rays)
+    n = o.shape[0]
+    best = (
+        jnp.full((nc,), BIG),
+        jnp.full((nc,), -1, jnp.int32),
+        jnp.zeros((nc,)),
+        jnp.zeros((nc,)),
+    )
+    best = _closest_tris(o[:nc], d[:nc], scene.tris, t_min[:nc], t_max[:nc],
+                         best, obj_rays=obj_c)
+    best = _closest_spheres(o[:nc], d[:nc], scene, t_min[:nc], t_max[:nc],
+                            best, obj_rays=obj_c)
+    occ = _any_tris(o[nc:], d[nc:], scene.tris, t_min[nc:], t_max[nc:],
+                    obj_rays=obj_s)
+    occ |= _any_spheres(o[nc:], d[nc:], scene, t_min[nc:], t_max[nc:],
+                        obj_rays=obj_s)
+    return best, occ
+
+
 def _any_tris(o, d, tris: Triangles, t_min, t_max, obj_rays=None):
     """True where any triangle is hit in (t_min, t_max) — validity-only fold."""
     n_tri = tris.count

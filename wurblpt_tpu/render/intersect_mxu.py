@@ -168,12 +168,16 @@ def mxu_closest_hit(ms: MxuScene, o, d, t_min, t_max):
     spheres. onehot_tri [N, kt] marks the winning triangle (all-zero rows for
     sphere hits / misses) and feeds the attribute matmul.
     """
-    n = o.shape[0]
     oc = o - ms.center
     r = _ray_features(oc, d)                       # [N, 12]
     prod = jax.lax.dot_general(
         r, ms.feat, (((1,), (0,)), ((), ())), precision=_HI)  # [N, 4kt+2ks]
+    return _decode_closest(ms, prod, d, t_min, t_max)
 
+
+def _decode_closest(ms: MxuScene, prod, d, t_min, t_max):
+    """Closest-hit decode of the feature-matmul product rows."""
+    n = prod.shape[0]
     best_t = jnp.full((n,), BIG)
     best_prim = jnp.full((n,), -1, jnp.int32)
     best_u = jnp.zeros((n,))
@@ -261,12 +265,16 @@ def mxu_any_hit(ms: MxuScene, o, d, t_min, t_max):
     of paying closest-hit cost (the reference only needs the blocker when it
     is NEARER than the light, wurblpt.hpp:203-217).
     """
-    n = o.shape[0]
     oc = o - ms.center
     r = _ray_features(oc, d)
     prod = jax.lax.dot_general(
         r, ms.feat, (((1,), (0,)), ((), ())), precision=_HI)
+    return _decode_any(ms, prod, d, t_min, t_max)
 
+
+def _decode_any(ms: MxuScene, prod, d, t_min, t_max):
+    """Pure-OR occlusion decode of the feature-matmul product rows."""
+    n = prod.shape[0]
     occluded = jnp.zeros((n,), bool)
     if ms.kt:
         kt = ms.kt
@@ -309,6 +317,29 @@ def mxu_any_hit(ms: MxuScene, o, d, t_min, t_max):
         )
         occluded |= jnp.any(valids, 1)
     return occluded
+
+
+def mxu_fused_hit(ms: MxuScene, o, d, t_min, t_max, n_closest: int):
+    """ONE feature matmul serving a closest segment and an any-hit segment.
+
+    The first `n_closest` rows are closest-hit queries (winner-selection
+    decode), the rest occlusion queries (pure-OR decode). Merging a bounce's
+    closest cast with its deferred NEE shadow casts halves the per-cast
+    launch/stage overhead and lets the MXU run one [N_total, 12] matmul
+    instead of two smaller ones. Returns
+    ((t, prim, u, v, onehot) over [:n_closest], occluded over [n_closest:]).
+    """
+    oc = o - ms.center
+    r = _ray_features(oc, d)
+    prod = jax.lax.dot_general(
+        r, ms.feat, (((1,), (0,)), ((), ())), precision=_HI)
+    closest = _decode_closest(
+        ms, prod[:n_closest], d[:n_closest], t_min[:n_closest],
+        t_max[:n_closest])
+    occ = _decode_any(
+        ms, prod[n_closest:], d[n_closest:], t_min[n_closest:],
+        t_max[n_closest:])
+    return closest, occ
 
 
 def mxu_tri_attrs(ms: MxuScene, onehot, u, v):
