@@ -30,7 +30,7 @@ LEAF_SIZE_LARGE = 64   # big scenes; TPU closest-cast sweep at 100k tris /
 #                        leaf 8: 756 ms, 16: 558, 32: 407, 64: 355 (fewer
 #                        leaf VISITS once ordering prunes, so wide tiles win;
 #                        without octant ordering 64 was the worst at 4.46 s)
-BVH_WIDTH = 8          # wide-node branching factor (children per wide node).
+BVH_WIDTH = 32         # wide-node branching factor (children per wide node).
 #                        TPU gathers pay per ROW DESCRIPTOR (~17 ns/row,
 #                        PROFILE.md section 2), so packing all W children's
 #                        AABBs + links into ONE gathered row and slab-testing
@@ -38,6 +38,13 @@ BVH_WIDTH = 8          # wide-node branching factor (children per wide node).
 #                        gather count — by ~W/2 vs the binary threaded walk
 #                        (one row gather tests W boxes instead of two gathers
 #                        testing one).
+#                        Round-5 frame-gated width sweep on bvh_100k (102k
+#                        tris, radiance bit-identical 0.32989 throughout):
+#                        W=8: 499 ms, W=16: 465, W=32: 373, W=64: 568 — the
+#                        wider row is descriptor-free until the one-hot
+#                        stack push's O(N*D*W) traffic catches up at W=64.
+#                        Leaf re-sweep at W=32: leaf 32: 372.6, 64: 373,
+#                        128: 419 (leaf 64 kept).
 
 
 # ---------------------------------------------------------------------------
@@ -307,8 +314,21 @@ def _collapse_wide(built, leaf_size: int, width: int):
     # the float round-trips exactly (asserted).
     assert np.abs(links).max(initial=0) < (1 << 24)
     rows[..., 6] = links.astype(np.float32)
-    # A lane pushes at most (W-1) entries per descended level.
-    stack_depth = max_depth * (width - 1) + 2
+    # EXACT worst-case stack need, not the max_depth * (W-1) bound: a node
+    # pushes (cnt - 1) entries before descending, so the true maximum is the
+    # deepest root-to-node path sum of (cnt - 1). The stack ops are O(N * D)
+    # HBM traffic per step (traverse._stack_push_sorted), so D is a direct
+    # cost knob — the exact bound is typically several times tighter at
+    # large W (DP below, bottom-up over the wide DAG).
+    n_children = np.array([len(m) for m in members_of], np.int64)
+    bound = np.zeros(M, np.int64)
+    for w in range(M - 1, -1, -1):
+        kid_max = 0
+        for m in members_of[w]:
+            if not is_leaf[m]:
+                kid_max = max(kid_max, bound[wid_of[m]])
+        bound[w] = (n_children[w] - 1) + kid_max
+    stack_depth = int(bound[0]) + 2
     return rows.reshape(M, width * 7), stack_depth
 
 

@@ -322,11 +322,27 @@ def _search_row(rowvals, n, u, strict: bool):
     cnt = jnp.sum((pred & within).astype(jnp.int32), axis=-1)
     return jnp.clip(cnt - 1, 0, jnp.maximum(n - 2, 0))
 
+def _pair_rows(a):
+    """Pack each bilinear row PAIR into one row: out[..., y, :] =
+    [row y | row y+1 (clamped)] along the last axis.
+
+    Every bilinear fetch needs rows y0 and y0+1; gathers are priced per row
+    descriptor on this TPU (~17 ns/row regardless of row size, PROFILE.md
+    1c), so one 2W-wide gather replaces two W-wide ones. Pure function of
+    the loop-invariant tables — XLA hoists it out of the wavefront loop
+    (mat_packed precedent) and CSEs the repeated pack expressions."""
+    nxt = jnp.concatenate([a[..., 1:, :], a[..., -1:, :]], axis=-2)
+    return jnp.concatenate([a, nxt], axis=-1)
+
+
 def _param_weights(vals, nvals, mid, x, max_size: int):
     """Parameter lookup: index + lerp weight into a sorted grid
-    (powitacq_rgb.inl:335-355). One row gather + vectorized search."""
-    n = nvals[mid]
-    row = vals[mid]
+    (powitacq_rgb.inl:335-355). ONE row gather (count packed into the row as
+    an exact float value) + vectorized search."""
+    packed = jnp.concatenate([vals, nvals.astype(vals.dtype)[:, None]], 1)
+    rowp = packed[mid]
+    row = rowp[..., :-1]
+    n = rowp[..., -1].astype(jnp.int32)
     i0 = _search_row(row, n, x, strict=False)
     p0 = _extract(row, i0)
     p1 = _extract(row, jnp.minimum(i0 + 1, jnp.maximum(n - 1, 0)))
@@ -350,17 +366,33 @@ class _Warp2(NamedTuple):
     w: jnp.ndarray      # [N] actual cols
 
     def _g(self, arr, *idx):
-        """Param-bilinear gather: sum over the 4 (phi,theta) slice corners."""
+        """Param-bilinear gather: sum over the (phi,theta) slice corners.
+
+        Corners along a SINGLETON parameter axis are skipped STATICALLY:
+        when the padded axis length is 1, every material's count is <= 1, so
+        `_param_weights` returns weight exactly 0 for the +1 corner — and
+        most RGL materials are isotropic (P == 1), halving (or with T == 1
+        quartering) the descriptor-priced gathers per fetch."""
+        p_single = arr.shape[1] == 1
+        t_single = arr.shape[2] == 1
         pi1 = jnp.minimum(self.pi + 1, arr.shape[1] - 1)
         ti1 = jnp.minimum(self.ti + 1, arr.shape[2] - 1)
         wp0, wp1 = 1.0 - self.wp1, self.wp1
         wt0, wt1 = 1.0 - self.wt1, self.wt1
+        if p_single and t_single:
+            corners = [(jnp.ones_like(wp0), self.pi, self.ti)]
+        elif t_single:
+            corners = [(wp0, self.pi, self.ti), (wp1, pi1, self.ti)]
+        elif p_single:
+            corners = [(wt0, self.pi, self.ti), (wt1, self.pi, ti1)]
+        else:
+            corners = [(wp0 * wt0, self.pi, self.ti),
+                       (wp0 * wt1, self.pi, ti1),
+                       (wp1 * wt0, pi1, self.ti),
+                       (wp1 * wt1, pi1, ti1)]
         m = self.mid
         out = None
-        for w_, p_, t_ in ((wp0 * wt0, self.pi, self.ti),
-                           (wp0 * wt1, self.pi, ti1),
-                           (wp1 * wt0, pi1, self.ti),
-                           (wp1 * wt1, pi1, ti1)):
+        for w_, p_, t_ in corners:
             v = arr[(m, p_, t_) + idx]
             if v.ndim > w_.ndim:  # trailing channel axis (rgb gathers)
                 w_ = w_.reshape(w_.shape + (1,) * (v.ndim - w_.ndim))
@@ -381,11 +413,12 @@ class _Warp2(NamedTuple):
     def eval(self, pos):
         """Bilinear density at pos in the unit square (powitacq_rgb.inl:530-583).
 
-        Two ROW fetches + one-hot column extraction instead of four point
-        gathers (_extract rationale)."""
+        ONE row-PAIR fetch + one-hot column extraction instead of four point
+        gathers (_extract / _pair_rows rationale)."""
         x0, y0, sx, sy = self._cell(pos)
-        dr0 = self._g(self.data, y0)
-        dr1 = self._g(self.data, y0 + 1)
+        W = self.data.shape[-1]
+        dr = self._g(_pair_rows(self.data), y0)
+        dr0, dr1 = dr[..., :W], dr[..., W:]
         v00 = _extract(dr0, x0)
         v10 = _extract(dr0, x0 + 1)
         v01 = _extract(dr1, x0)
@@ -395,10 +428,11 @@ class _Warp2(NamedTuple):
 
     def invert(self, pos):
         """Map a warped position back to the uniform domain + density
-        (powitacq_rgb.inl:434-527). Row fetches + one-hot extraction."""
+        (powitacq_rgb.inl:434-527). Row-pair fetches + one-hot extraction."""
         x0, y0, sx, sy = self._cell(pos)
-        dr0 = self._g(self.data, y0)
-        dr1 = self._g(self.data, y0 + 1)
+        W = self.data.shape[-1]
+        dr = self._g(_pair_rows(self.data), y0)
+        dr0, dr1 = dr[..., :W], dr[..., W:]
         v00 = _extract(dr0, x0)
         v10 = _extract(dr0, x0 + 1)
         v01 = _extract(dr1, x0)
@@ -408,8 +442,10 @@ class _Warp2(NamedTuple):
         pdf = (1 - sx) * c0 + sx * c1
 
         ux = sx * (c0 + 0.5 * sx * (c1 - c0))
-        cr0 = self._g(self.cond, y0)
-        cr1 = self._g(self.cond, y0 + 1)
+        # cond row pair + the marginal CDF value packed into one fetched row
+        crm = self._g(jnp.concatenate(
+            [_pair_rows(self.cond), self.marg[..., None]], -1), y0)
+        cr0, cr1, marg0 = crm[..., :W], crm[..., W:2 * W], crm[..., 2 * W]
         v0 = _extract(cr0, x0)
         v1 = _extract(cr1, x0)
         ux = ux + ((1 - sy) * v0 + sy * v1)
@@ -417,7 +453,7 @@ class _Warp2(NamedTuple):
         r0 = _extract(cr0, wlast)
         r1 = _extract(cr1, wlast)
         ux = ux / jnp.maximum((1 - sy) * r0 + sy * r1, 1e-20)
-        uy = sy * (r0 + 0.5 * sy * (r1 - r0)) + self._g(self.marg, y0)
+        uy = sy * (r0 + 0.5 * sy * (r1 - r0)) + marg0
         return jnp.stack([ux, uy], -1), pdf * self._area
 
     def sample(self, u, max_h: int, max_w: int):
@@ -430,8 +466,9 @@ class _Warp2(NamedTuple):
         row = _search_row(marg_row, self.h, uy, True)
         uy = uy - _extract(marg_row, row)
 
-        cr0 = self._g(self.cond, row)
-        cr1 = self._g(self.cond, row + 1)
+        W = self.cond.shape[-1]
+        cr = self._g(_pair_rows(self.cond), row)
+        cr0, cr1 = cr[..., :W], cr[..., W:]
         wlast = jnp.maximum(self.w - 1, 0)
         r0 = _extract(cr0, wlast)
         r1 = _extract(cr1, wlast)
@@ -447,8 +484,8 @@ class _Warp2(NamedTuple):
         col = _search_row(fc_row, self.w, ux, True)
         ux = ux - _extract(fc_row, col)
 
-        dr0 = self._g(self.data, row)
-        dr1 = self._g(self.data, row + 1)
+        dr = self._g(_pair_rows(self.data), row)
+        dr0, dr1 = dr[..., :W], dr[..., W:]
         v00 = _extract(dr0, col)
         v10 = _extract(dr0, col + 1)
         v01 = _extract(dr1, col)
@@ -480,8 +517,9 @@ def _eval0(arr, hw, mid, pos):
     x0 = jnp.clip(fx.astype(jnp.int32), 0, w - 2)
     y0 = jnp.clip(fy.astype(jnp.int32), 0, h - 2)
     sx, sy = fx - x0, fy - y0
-    r0 = arr[mid, y0]                      # [N, W] row fetches (2 gathers
-    r1 = arr[mid, y0 + 1]                  # instead of 4 point gathers)
+    W = arr.shape[-1]
+    rp = _pair_rows(arr)[mid, y0]          # ONE [N, 2W] row-pair fetch
+    r0, r1 = rp[..., :W], rp[..., W:]      # (was 2 gathers, was 4 points)
     v00 = _extract(r0, x0)
     v10 = _extract(r0, x0 + 1)
     v01 = _extract(r1, x0)
@@ -495,8 +533,9 @@ def _rgb_eval(tables: RGLTables, wrp: _Warp2, pos):
     x0, y0, sx, sy = wrp._cell(pos)
     rgb = tables.rgb
 
-    rr0 = _Warp2._g(wrp, rgb, slice(None), y0)       # [N, 4, W] row fetch
-    rr1 = _Warp2._g(wrp, rgb, slice(None), y0 + 1)
+    W = rgb.shape[-1]
+    rr = _Warp2._g(wrp, _pair_rows(rgb), slice(None), y0)  # [N, 4, 2W] pair
+    rr0, rr1 = rr[..., :W], rr[..., W:]
     v00, v10 = _extract(rr0, x0), _extract(rr0, x0 + 1)
     v01, v11 = _extract(rr1, x0), _extract(rr1, x0 + 1)
     sx = sx[..., None]
