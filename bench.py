@@ -327,6 +327,7 @@ def main():
         "envmap_cube_is": "envmap_cube_is_128_16spp_ref_cpu_paths_per_s",
         "tof_amcw": "tof_96_16spp_ref_cpu_paths_per_s",
         "bvh_100k": "bvh100k_160x120_4spp_ref_cpu_paths_per_s",
+        "city_many_lights": "city_1080p_360stereo_1spp_ref_cpu_paths_per_s",
     }
     for name, key in ref_keys.items():
         row = aux.get(name)

@@ -22,6 +22,10 @@ os.makedirs(out_dir, exist_ok=True)
 
 scene = scenes.terrain_city(seed=3)
 export_scene_to_obj(scene, os.path.join(out_dir, "terrain_city.obj"))
+# Flipped vertically for the reference: our equirect convention puts numpy
+# row 0 at the zenith, the reference's v = asin(y)/pi + 0.5 reads the zenith
+# from the LAST stored TGD row (round-5 fix found by the city twin — the
+# round-4 terrain denominator was measured with a vertically flipped sky).
 sky = scenes.procedural_sky()
-tgdshim.save(os.path.join(out_dir, "terrain_sky.tgdshim"), sky)
+tgdshim.save(os.path.join(out_dir, "terrain_sky.tgdshim"), sky[::-1].copy())
 print("exported", os.path.join(out_dir, "terrain_city.obj"), "sky", sky.shape)

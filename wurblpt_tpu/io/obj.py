@@ -318,6 +318,13 @@ def _material_from_mtl(m: dict, base: str, import_bits: int, tex_cache: dict):
     # Fixups (import.hpp:300-308).
     if import_bits & ImportBits.INVERTED_TF:
         tra = 1.0 - tra
+    # DELIBERATE divergence from import.hpp:303-306: the reference applies
+    # this fixup whenever max(Tf) < 1, so an MTL with NO Tf line (tinyobj
+    # default 0,0,0) becomes fully transparent (opacity = average(0) = 0).
+    # We additionally require max(Tf) > 0, treating Tf-less materials as
+    # opaque — matching every mainstream OBJ consumer; MTLs that really
+    # want transparency carry explicit Tf (which both importers then read
+    # identically). Found by the round-5 city reference twin.
     if opa >= 1.0 and tra.max() < 1.0 and tra.max() > 0.0:
         opa = float(tra.mean())
         tra = 1.0 - tra
@@ -540,27 +547,46 @@ def export_scene_to_obj(scene: B.Scene, path: str) -> None:
                 if fn:
                     mf.write(f"{tex_key} {fn}\n")
 
+            # Opaque materials MUST write "Tf 1 1 1": tinyobj defaults a
+            # missing Tf to (0,0,0), and the reference's transmittance fixup
+            # (import.hpp:303-306) reads "d 1 with max(Tf) < 1" as FULLY
+            # TRANSPARENT (opacity = average(Tf) = 0). Round-5 city-twin
+            # finding: without Tf lines every exported surface rendered
+            # transparent in the reference build (terrain showed the
+            # below-horizon sky; closed boxes went black from exhausted
+            # path depth). Standard MTL exporters write Tf 1 1 1 for the
+            # same reason.
             if isinstance(mat, B.Lambertian):
                 w_color("Kd", mat.albedo, None, "map_Kd")
+                mf.write("Tf 1 1 1\n")
             elif isinstance(mat, B.ModPhong):
                 w_color("Kd", mat.diffuse, None, "map_Kd")
                 w_color("Ks", mat.specular, None, "map_Ks")
                 w_color("Ke", mat.emissive, None, "map_Ke")
                 mf.write(f"Ns {mat.shininess:g}\nd {mat.opacity:g}\n")
+                opa = float(np.asarray(mat.opacity, np.float32).reshape(-1)[0]) \
+                    if not isinstance(mat.opacity, B.Texture) else 1.0
+                tra = np.asarray(mat.transmissive, np.float32).reshape(-1)[:3]
+                if opa < 1.0 and tra.max() > 0.0:
+                    mf.write(f"Tf {tra[0]:g} {tra[1]:g} {tra[2]:g}\n")
+                else:
+                    mf.write("Tf 1 1 1\n")
             elif isinstance(mat, B.Glass):
                 ior = np.asarray(mat.ior, np.float32).reshape(-1)
                 mf.write(f"Ni {float(ior[0]):g}\nd 0.1\nillum 7\n")
             elif isinstance(mat, B.Mirror):
                 w_color("Ks", mat.color, None, "map_Ks")
-                mf.write("illum 5\n")
+                mf.write("illum 5\nTf 1 1 1\n")
             elif isinstance(mat, (B.LightDiffuse, B.LightSpot)):
                 w_color("Ke", mat.radiance, None, "map_Ke")
+                mf.write("Tf 1 1 1\n")
             elif isinstance(mat, B.GGX):
                 w_color("Kd", mat.albedo, None, "map_Kd")
                 r = np.mean(np.asarray(mat.roughness, np.float32))
                 mf.write(f"Ns {max(2.0 / max(r * r, 1e-4) - 2.0, 0.0):g}\n")
+                mf.write("Tf 1 1 1\n")
             else:
-                mf.write("Kd 0.8 0.8 0.8\n")
+                mf.write("Kd 0.8 0.8 0.8\nTf 1 1 1\n")
             if mat.normal_map is not None:
                 fn = _texture_to_png(mat.normal_map,
                                      os.path.join(dirname, f"{name}_norm"),

@@ -87,8 +87,16 @@ def _bilinear_wrap(img, u, v):
 
 
 def _equirect_uv(d):
-    """Mitsuba-convention equirect mapping (envmap.hpp:213-248 default)."""
-    u = 0.5 * (1.0 + jnp.arctan2(d[..., 0], -d[..., 2]) / np.pi)
+    """Mitsuba-convention equirect mapping (envmap.hpp:231-247 default):
+    u = (atan(-x, z) - pi) mod 2pi / 2pi == atan2(x, -z)/(2pi) mod 1, so
+    direction +z lands at u = 0.5 (picture center column).
+
+    ROUND-5 FIX found by the city reference twin: the previous formula
+    (0.5 * (1 + atan2(x, -z)/pi)) is the reference's SURROUND-VIDEO
+    convention — a 180-degree yaw off Mitsuba's (sky column profiles
+    anticorrelated at -0.998 against the reference render of the identical
+    scene). v (asin-based, picture top = +y zenith) always agreed."""
+    u = jnp.mod(jnp.arctan2(d[..., 0], -d[..., 2]) / (2.0 * np.pi), 1.0)
     v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / np.pi
     return u, v
 
@@ -257,8 +265,15 @@ def build_envmap_arrays(env_desc, importance_default: int = 0) -> EnvMapArrays:
         if img.shape[-1] == 3:
             img = np.concatenate([img, img.mean(-1, keepdims=True)], -1)
         if env_desc.x_convention_surround:
-            # Surround-video x-axis convention: mirror in u (envmap.hpp:213-248).
-            img = img[:, ::-1].copy()
+            # Surround-video x convention (envmap.hpp:235-242): NO -pi shift,
+            # i.e. a HALF-TURN u offset from the Mitsuba default — not a
+            # mirror (round-5 fix; both conventions share handedness). A
+            # cyclic half-width roll of the image is exact for even widths
+            # because u wraps.
+            if img.shape[1] % 2:
+                raise ValueError(
+                    "x_convention_surround needs an even-width equirect image")
+            img = np.roll(img, img.shape[1] // 2, axis=1)
         if env_desc.rotation is not None:
             rotation = np.asarray(env_desc.rotation, np.float32)
         kind = 1
