@@ -95,7 +95,9 @@ def bench_rtiow():
                       height=height,
                       dist_k=(-0.1, 0.02, 0.0, 0.0, 0.0, 0.0),
                       dist_p=(0.001, -0.001))
-    cfg = CameraConfig(distortion=DistortionModel.OPENCV)
+    # undistort_iters=8 measured bit-identical to 32 ON THIS CONFIG
+    # (PROFILE.md 1b); the public default stays 32 for strong coefficients.
+    cfg = CameraConfig(distortion=DistortionModel.OPENCV, undistort_iters=8)
     params = RenderParams(max_path_components=8)
     fn = jax.jit(lambda s, c: render_frame_wavefront(
         s, static, c, cfg, SensorRGB(), width, height, ssqrt,

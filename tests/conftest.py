@@ -50,8 +50,15 @@ if jax.__version__ == "0.9.0":
 
     _pjit._get_fastpath_data = lambda *a, **k: None
 else:
-    raise RuntimeError(
-        f"jax {jax.__version__} != 0.9.0: the dispatch-fastpath workaround in "
-        "tests/conftest.py was isolated on 0.9.0 — re-test whether the "
-        "PjitFunctionCache fault still reproduces (see comment above), then "
-        "update this gate.")
+    # Do NOT hard-fail collection on other jax versions (advisor round-4:
+    # a RuntimeError here made the whole suite unrunnable everywhere else,
+    # including versions where the bug may be fixed). The patch is simply
+    # not applied, and tests/test_fastpath_guard.py runs the standalone
+    # reproducer: if the PjitFunctionCache fault still exists unpatched on
+    # the new version, THAT test fails with a pointer here.
+    import warnings
+
+    warnings.warn(
+        f"jax {jax.__version__} != 0.9.0: dispatch-fastpath workaround NOT "
+        "applied (isolated on 0.9.0); test_fastpath_guard probes whether "
+        "the fault reproduces on this version.")

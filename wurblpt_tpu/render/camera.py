@@ -51,12 +51,17 @@ class CameraConfig:
     stereo: bool = False              # top/bottom packed stereo
     distortion: int = DistortionModel.NONE
     dof: bool = False
-    undistort_iters: int = 8          # fixed-count replacement for the <=256-iter
-    #                                   loop; 8 fixed-point iterations already
-    #                                   reproduce the 32-iteration image bit-
-    #                                   identically on the rtiow bench config
-    #                                   (PROFILE.md section 1b); raise for
-    #                                   extreme distortion coefficients
+    undistort_iters: int = 32         # fixed-count replacement for the <=256-iter
+    #                                   loop (optics.hpp:279-308). 32 meets the
+    #                                   reference's 0.001 px tolerance across a
+    #                                   sweep of strong coefficient sets
+    #                                   (tests/test_sensors_optics.py round-trip
+    #                                   test); 8 under-converges ~10x at
+    #                                   k1=-0.3-class distortion (advisor
+    #                                   round-4 finding), so the PUBLIC default
+    #                                   is 32 and the bench config — where 8 was
+    #                                   measured bit-identical, PROFILE.md 1b —
+    #                                   opts into 8 explicitly.
     anim_id: int = -1                 # scene animation driving the pose per ray
     #                                   time (camera.hpp:56-111: a camera owns an
     #                                   Animation; -1 = static CameraParams pose)

@@ -57,6 +57,13 @@ def sphere_to_square(d):
 # Radiance lookup
 # ---------------------------------------------------------------------------
 
+# Above this texel count the 2x2-patch images (4x memory) are skipped and
+# bilinear taps fall back to four point gathers: a 4k equirect HDR would
+# otherwise pin hundreds of MB of HBM for the whole render (advisor round-4
+# finding). Below it the single row gather wins (PROFILE.md 1c).
+PATCH_MAX_TEXELS = 1 << 21
+
+
 def _bilinear_wrap(img, u, v):
     """Bilinear lookup with wrap in u, clamp in v. img: [H, W, 4]; u,v in [0,1].
 
@@ -66,13 +73,9 @@ def _bilinear_wrap(img, u, v):
     four taps come from a single gathered row (row gathers are
     descriptor-priced, ~0.8 ms per 131072 lanes each; PROFILE.md 1c). This
     was why equirect radiance measured 37% slower than the cube map's
-    nearest lookup."""
+    nearest lookup. Envmaps larger than PATCH_MAX_TEXELS trade the gather
+    count back for memory (4 point gathers, no 4x patch image)."""
     h, w = img.shape[0], img.shape[1]
-    img_r = jnp.roll(img, -1, axis=1)                       # x+1, wrap
-    img_d = jnp.concatenate([img[1:], img[-1:]], axis=0)    # y+1, clamp
-    img_rd = jnp.roll(img_d, -1, axis=1)
-    patch = jnp.concatenate([img, img_r, img_d, img_rd], -1)  # [H, W, 16]
-
     x = u * w - 0.5
     y = v * h - 0.5
     x0 = jnp.floor(x)
@@ -81,8 +84,19 @@ def _bilinear_wrap(img, u, v):
     fy = (y - y0)[..., None]
     x0i = jnp.mod(x0.astype(jnp.int32), w)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    c = patch[y0i, x0i]
-    c00, c01, c10, c11 = c[..., 0:4], c[..., 4:8], c[..., 8:12], c[..., 12:16]
+    if h * w > PATCH_MAX_TEXELS:
+        x1i = jnp.mod(x0i + 1, w)
+        y1i = jnp.clip(y0i + 1, 0, h - 1)
+        c00, c01 = img[y0i, x0i], img[y0i, x1i]
+        c10, c11 = img[y1i, x0i], img[y1i, x1i]
+    else:
+        img_r = jnp.roll(img, -1, axis=1)                    # x+1, wrap
+        img_d = jnp.concatenate([img[1:], img[-1:]], axis=0)  # y+1, clamp
+        img_rd = jnp.roll(img_d, -1, axis=1)
+        patch = jnp.concatenate([img, img_r, img_d, img_rd], -1)  # [H, W, 16]
+        c = patch[y0i, x0i]
+        c00, c01, c10, c11 = (c[..., 0:4], c[..., 4:8],
+                              c[..., 8:12], c[..., 12:16])
     return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
 
 
@@ -124,19 +138,28 @@ def _cube_lookup(img, d):
     # BILINEAR per-face lookup with edge clamp — the reference's cube faces
     # are TextureImages sampled bilinearly (texture_image.hpp:182-212 with
     # x1/y1 clamped by value(), :85-90). One gather via a [6, H, W, 16]
-    # 2x2-patch image (pure function of the faces, hoisted; PROFILE.md 1c).
-    img_r = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
-    img_d = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
-    img_rd = jnp.concatenate([img_d[:, :, 1:], img_d[:, :, -1:]], axis=2)
-    patch = jnp.concatenate([img, img_r, img_d, img_rd], -1)  # [6, H, W, 16]
+    # 2x2-patch image (pure function of the faces, hoisted; PROFILE.md 1c);
+    # large face sets fall back to four point gathers (PATCH_MAX_TEXELS
+    # memory gate, advisor round-4 finding).
     us = jnp.maximum(u * w - 0.5, 0.0)
     vs = jnp.maximum(v * h - 0.5, 0.0)
     x0 = jnp.clip(us.astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(vs.astype(jnp.int32), 0, h - 1)
     a = (us - x0.astype(jnp.float32))[..., None]
     b = (vs - y0.astype(jnp.float32))[..., None]
-    c = patch[face, y0, x0]
-    c00, c10, c01, c11 = c[..., 0:4], c[..., 4:8], c[..., 8:12], c[..., 12:16]
+    if 6 * h * w > PATCH_MAX_TEXELS:
+        x1 = jnp.clip(x0 + 1, 0, w - 1)
+        y1 = jnp.clip(y0 + 1, 0, h - 1)
+        c00, c10 = img[face, y0, x0], img[face, y0, x1]
+        c01, c11 = img[face, y1, x0], img[face, y1, x1]
+    else:
+        img_r = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+        img_d = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        img_rd = jnp.concatenate([img_d[:, :, 1:], img_d[:, :, -1:]], axis=2)
+        patch = jnp.concatenate([img, img_r, img_d, img_rd], -1)
+        c = patch[face, y0, x0]
+        c00, c10, c01, c11 = (c[..., 0:4], c[..., 4:8],
+                              c[..., 8:12], c[..., 12:16])
     return (c00 * (1 - a) + c10 * a) * (1 - b) + (c01 * (1 - a) + c11 * a) * b
 
 
