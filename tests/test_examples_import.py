@@ -10,7 +10,7 @@ import pytest
 
 EXAMPLES = sorted(
     p for p in (pathlib.Path(__file__).parent.parent / "examples").glob("*.py")
-    if p.name != "_common.py"
+    if not p.name.startswith("_")     # _common.py / _obj_app.py are helpers
 )
 
 

@@ -24,6 +24,7 @@ for any sharding of the ray batch.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import NamedTuple, Optional, Tuple
 
@@ -814,24 +815,120 @@ def render_frame_wavefront(
     P = spp // m
     n_blocks = -(-n_pix // B)
 
-    if static.has_anim:
-        from ..scene.animation import make_anim_ctx
+    img0 = jnp.zeros((n_blocks * B, sensor.n_acc))
+    carry0 = (img0, jnp.zeros((2,), jnp.int32))
+    if host_blocks and n_blocks > 1:
+        # One device execution PER BLOCK (the compiled program is reused; blk
+        # is a traced scalar). Big frames on the axon platform must keep each
+        # execution short — a single multi-minute execution faults the device
+        # (PROFILE.md section 3). Matches the fori_loop form to float rounding
+        # (XLA fuses differently across the jit boundary; ~1e-5 abs).
+        #
+        # The jitted step comes from an lru_cache keyed on the STATIC config
+        # and takes (scene, cam) as traced arguments: a fresh
+        # jax.jit(lambda ...) here re-traced the whole wavefront program on
+        # EVERY render_frame_wavefront call — measured ~25 s of the 42 s
+        # round-5 city frame (tools/profile_city.py: a 2-block frame cost
+        # 25.9 s vs 42 s for 63 blocks; tracing, not the device, dominated).
+        step = _wavefront_block_step(
+            static, cam_cfg, sensor, params, width, height, samples_sqrt,
+            float(t0), float(t1), B, m, P, n_pix)
+        carry = carry0
+        import os as _os
 
-        anim_ctx = make_anim_ctx(scene.anims, jnp.full((L,), jnp.float32(t0)),
-                                 with_forward=static.lights_animated)
+        trace_blocks = _os.environ.get("WURBLPT_BLOCK_TRACE", "") == "1"
+        for b in range(n_blocks):
+            if trace_blocks:
+                import sys as _sys
+                import time as _time
+
+                jax.block_until_ready(carry)
+                _t = _time.perf_counter()
+                carry = step(jnp.int32(b), carry, scene, cam)
+                jax.block_until_ready(carry)
+                print(f"block {b}/{n_blocks}: "
+                      f"{(_time.perf_counter() - _t) * 1e3:.1f} ms",
+                      file=_sys.stderr)
+            else:
+                carry = step(jnp.int32(b), carry, scene, cam)
+        img, stats = carry
     else:
-        anim_ctx = None
-    from .intersect import mxu_eligible
+        if static.has_anim:
+            from ..scene.animation import make_anim_ctx
 
-    if mxu_eligible(scene, anim_ctx):
-        from .intersect_mxu import build_mxu_scene
+            anim_ctx = make_anim_ctx(scene.anims,
+                                     jnp.full((L,), jnp.float32(t0)),
+                                     with_forward=static.lights_animated)
+        else:
+            anim_ctx = None
+        from .intersect import mxu_eligible
 
-        ms = build_mxu_scene(scene)
-    else:
-        ms = None
-    bounce_fn = _make_bounce_fn(scene, static, sensor, params, anim_ctx, ms, L)
-    fuse_l, fuse_e = _fused_mode(static, params, ms is not None)
+        if mxu_eligible(scene, anim_ctx):
+            from .intersect_mxu import build_mxu_scene
 
+            ms = build_mxu_scene(scene)
+        else:
+            ms = None
+        bounce_fn = _make_bounce_fn(scene, static, sensor, params, anim_ctx,
+                                    ms, L)
+        fuse_l, fuse_e = _fused_mode(static, params, ms is not None)
+        run_block = _make_run_block(
+            scene, cam, bounce_fn, fuse_l, fuse_e, static, cam_cfg, sensor,
+            params, width, height, samples_sqrt, float(t0), float(t1),
+            B, m, P, n_pix)
+        img, stats = jax.lax.fori_loop(
+            0, n_blocks, lambda b, c: run_block(jnp.int32(b), c), carry0
+        )
+    img = sensor.finish(img[:n_pix], 1.0 / spp).reshape(height, width, sensor.n_acc)
+    if return_stats:
+        return img, stats
+    return img
+
+
+@functools.lru_cache(maxsize=64)
+def _wavefront_block_step(static, cam_cfg, sensor, params, width, height,
+                          samples_sqrt, t0, t1, B, m, P, n_pix):
+    """Cached jitted (blk, carry, scene, cam) -> carry for host-blocks mode.
+
+    All per-trace derived structures (AnimCtx, MXU operands, the bounce
+    closure) are rebuilt INSIDE the jit from the traced scene, so the traced
+    program is a pure function of the hashable static key and jax's own
+    compilation cache takes over across calls."""
+    L = B * m
+
+    def step(blk, carry, scene, cam):
+        if static.has_anim:
+            from ..scene.animation import make_anim_ctx
+
+            anim_ctx = make_anim_ctx(scene.anims, jnp.full((L,), jnp.float32(t0)),
+                                     with_forward=static.lights_animated)
+        else:
+            anim_ctx = None
+        from .intersect import mxu_eligible
+
+        if mxu_eligible(scene, anim_ctx):
+            from .intersect_mxu import build_mxu_scene
+
+            ms = build_mxu_scene(scene)
+        else:
+            ms = None
+        bounce_fn = _make_bounce_fn(scene, static, sensor, params, anim_ctx,
+                                    ms, L)
+        fuse_l, fuse_e = _fused_mode(static, params, ms is not None)
+        run_block = _make_run_block(
+            scene, cam, bounce_fn, fuse_l, fuse_e, static, cam_cfg, sensor,
+            params, width, height, samples_sqrt, t0, t1, B, m, P, n_pix)
+        return run_block(blk, carry)
+
+    return jax.jit(step)
+
+
+def _make_run_block(scene, cam, bounce_fn, fuse_l, fuse_e, static, cam_cfg,
+                    sensor, params, width, height, samples_sqrt, t0, t1,
+                    B, m, P, n_pix):
+    """One persistent-lane block render as a (blk, carry) -> carry closure
+    (shared by the in-jit fori_loop path and the cached host-blocks step)."""
+    L = B * m
     lane = jnp.arange(L, dtype=jnp.int32)
     b_lane = lane % B            # pixel slot within the block
     j_lane = lane // B           # sample-lane index in [0, m)
@@ -920,27 +1017,7 @@ def render_frame_wavefront(
         img_acc = jax.lax.dynamic_update_slice(img_acc, block_img, (pix0, 0))
         return img_acc, stats_acc + final_ls.stats
 
-    img0 = jnp.zeros((n_blocks * B, sensor.n_acc))
-    carry0 = (img0, jnp.zeros((2,), jnp.int32))
-    if host_blocks and n_blocks > 1:
-        # One device execution PER BLOCK (the compiled program is reused; blk
-        # is a traced scalar). Big frames on the axon platform must keep each
-        # execution short — a single multi-minute execution faults the device
-        # (PROFILE.md section 3). Matches the fori_loop form to float rounding
-        # (XLA fuses differently across the jit boundary; ~1e-5 abs).
-        step = jax.jit(lambda blk, c: run_block(blk, c))
-        carry = carry0
-        for b in range(n_blocks):
-            carry = step(jnp.int32(b), carry)
-        img, stats = carry
-    else:
-        img, stats = jax.lax.fori_loop(
-            0, n_blocks, lambda b, c: run_block(jnp.int32(b), c), carry0
-        )
-    img = sensor.finish(img[:n_pix], 1.0 / spp).reshape(height, width, sensor.n_acc)
-    if return_stats:
-        return img, stats
-    return img
+    return run_block
 
 
 def render_frame_progressive(
