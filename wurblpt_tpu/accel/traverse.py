@@ -456,6 +456,17 @@ def _wide_walk_to_leaf(bvh, o, inv_d, t_min, t_max, node, sp, stack_l,
     return jax.lax.while_loop(cond, nbody, (node, sp, stack_l, stack_t))
 
 
+def _walk_stop_div() -> int:
+    """Walk-exit divisor: the wide walk yields to leaf work once walkers
+    <= m // div. Frame-gated sweep on bvh_100k at W=32 (radiance
+    bit-identical 0.34585): div=2: 834 ms, 4: 372, 8: 361, 16: 379,
+    32: 367 — 8 is the pick (yielding too eagerly at div=2 doubles the
+    outer leaf/pop rounds; too lazily idles parked lanes in the walk)."""
+    import os
+
+    return int(os.environ.get("WURBLPT_BVH_STOP_DIV", "8"))
+
+
 def _stage_sizes(n: int):
     """Compaction schedule: full width, then /4 steps down to ~8k lanes.
 
@@ -517,7 +528,7 @@ def _wide_closest_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
             node, sp, stack_l, stack_t, bt, bp, bu, bv = state
             node, sp, stack_l, stack_t = _wide_walk_to_leaf(
                 bvh, o_s, inv_d, t_min_s, t_max_s, node, sp, stack_l, stack_t,
-                bt, stop_count=m // 4, unroll=2 if m <= 4800 else 1)
+                bt, stop_count=m // _walk_stop_div(), unroll=2 if m <= 4800 else 1)
             on_leaf = node <= -2
             leaf_row = jnp.where(on_leaf, -node - 2, -1)
             pids, t_all, u, v, _ = _packed_leaf_tests(
@@ -603,7 +614,7 @@ def _wide_any_hit(scene: SceneArrays, o, d, t_min, t_max, obj_rays=None):
             node, sp, stack_l, stack_t, occ = state
             node, sp, stack_l, stack_t = _wide_walk_to_leaf(
                 bvh, o_s, inv_d, t_min_s, t_max_s, node, sp, stack_l, stack_t,
-                t_max_s, stop_count=m // 4, unroll=2 if m <= 4800 else 1)
+                t_max_s, stop_count=m // _walk_stop_div(), unroll=2 if m <= 4800 else 1)
             on_leaf = node <= -2
             leaf_row = jnp.where(on_leaf, -node - 2, -1)
             _, _, _, _, ok = _packed_leaf_tests(
@@ -687,7 +698,7 @@ def _wide_fused_hit(scene: SceneArrays, o, d, t_min, t_max, anyhit,
             node, sp, stack_l, stack_t, bt, bp, bu, bv, occ = state
             node, sp, stack_l, stack_t = _wide_walk_to_leaf(
                 bvh, o_s, inv_d, t_min_s, t_max_s, node, sp, stack_l, stack_t,
-                bt, stop_count=m // 4, unroll=2 if m <= 4800 else 1)
+                bt, stop_count=m // _walk_stop_div(), unroll=2 if m <= 4800 else 1)
             on_leaf = node <= -2
             leaf_row = jnp.where(on_leaf, -node - 2, -1)
             bound = jnp.minimum(t_max_s, bt)
