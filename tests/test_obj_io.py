@@ -193,3 +193,54 @@ def test_export_import_textured_roundtrip(tmp_path):
         arrays.textures, jnp.full((2,), tex_id, jnp.int32), uv))
     assert vals[0, 0] > 0.8 and vals[0, 2] < 0.2   # red half
     assert vals[1, 2] > 0.8 and vals[1, 0] < 0.2   # blue half
+
+
+def test_export_writes_tf_for_opaque_materials(tmp_path):
+    """Opaque exports MUST carry 'Tf 1 1 1': tinyobj defaults Tf to 0 and the
+    reference's transmittance fixup (import.hpp:303-306) reads a Tf-less
+    'd 1' material as FULLY TRANSPARENT — round-5 city-twin finding that
+    invalidated the round-4 OBJ-scene CPU baselines."""
+    from wurblpt_tpu.io.obj import export_scene_to_obj
+    from wurblpt_tpu.scene import builder as B
+    from wurblpt_tpu.scene import generator as G
+
+    sc = B.Scene()
+    for mat in (B.Lambertian(albedo=(0.3, 0.4, 0.5)),
+                B.ModPhong(diffuse=(0.5, 0.5, 0.5), specular=(0.1, 0.1, 0.1),
+                           shininess=30.0),
+                B.GGX(albedo=(0.6, 0.6, 0.6), roughness=0.2),
+                B.Mirror(),
+                B.LightDiffuse(radiance=(5.0, 5.0, 5.0))):
+        sc.take_mesh_instance(B.MeshInstance(G.generate_quad(1.0, 1.0),
+                                             sc.take_material(mat)))
+    out = tmp_path / "tf.obj"
+    export_scene_to_obj(sc, str(out))
+    mtl = (tmp_path / "tf.mtl").read_text()
+    blocks = [b for b in mtl.split("newmtl") if b.strip()]
+    assert len(blocks) == 5
+    for b in blocks:
+        assert "Tf 1 1 1" in b, f"material block lacks Tf:\n{b}"
+
+
+def test_reference_transmittance_fixup_semantics(tmp_path):
+    """With an EXPLICIT Tf < 1 and d 1, both importers apply the reference's
+    fixup (opacity = mean(Tf), transmissive = 1 - Tf); with NO Tf line ours
+    deliberately stays opaque (documented divergence at the fixup site)."""
+    from wurblpt_tpu.io.obj import import_into_scene
+    from wurblpt_tpu.scene import builder as B
+
+    obj = tmp_path / "s.obj"
+    (tmp_path / "s.mtl").write_text(
+        "newmtl translucent\nKd 0.5 0.5 0.5\nKs 0.1 0.1 0.1\nNs 10\nd 1\n"
+        "Tf 0.4 0.4 0.4\n\n"
+        "newmtl plain\nKd 0.5 0.5 0.5\nKs 0.1 0.1 0.1\nNs 10\nd 1\n")
+    obj.write_text(
+        "mtllib s.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "usemtl translucent\nf 1 2 3\nusemtl plain\nf 1 2 3\n")
+    sc = B.Scene()
+    import_into_scene(sc, str(obj))
+    mats = {getattr(m, "opacity", 1.0): m for m in sc._materials}
+    opacities = sorted(float(o) if not isinstance(o, B.Texture) else 1.0
+                       for o in mats)
+    assert abs(opacities[0] - 0.4) < 1e-6      # translucent: mean(Tf)
+    assert abs(opacities[-1] - 1.0) < 1e-6     # Tf-less: opaque (ours)
